@@ -1,0 +1,147 @@
+"""Table object: metadata lifecycle, block listing, ingestion entry points.
+
+Mirrors the reference Table (src/lib/table.go, table_io.go, table_ingest.go):
+- info.json is the schema + table-level stats, saved with a .bak checkpoint
+  under the info lock (table_io.go:26-66)
+- ingest appends typed records to the WAL then auto-digests past the
+  file-count/byte thresholds (table_ingest.go:33-82)
+- blocks are subdirectories named block*; the row store lives in ingest/
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+
+from . import blocks, codec, constants, rowstore
+from .config import Flags
+from .debug import debug, warn
+from .dicts import DictStore
+from .ingest import update_schema_stats
+from .locks import BlockLock, DigestLock, InfoLock
+from .schema import Schema
+
+
+class Table:
+    def __init__(self, name: str, flags: Flags | None = None):
+        self.flags = flags or Flags()
+        self.name = name
+        self.dir = os.path.join(self.flags.dir, name)
+        self.schema = Schema()
+        self.dicts = DictStore(self.dir)
+        self._info_loaded = False
+
+    # ------------------------------------------------------------------
+    # info lifecycle
+    # ------------------------------------------------------------------
+    @property
+    def info_path(self) -> str:
+        return os.path.join(self.dir, "info.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.info_path) or os.path.exists(self.info_path + ".bak")
+
+    def load_info(self) -> bool:
+        with InfoLock(self.dir):
+            try:
+                data = codec.read_json(self.info_path)
+            except FileNotFoundError:
+                return False
+            self.schema = Schema.from_json(data.get("schema", {}))
+            self._info_loaded = True
+            return True
+
+    def save_info(self) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        with InfoLock(self.dir):
+            codec.write_json_atomic(self.info_path,
+                                    {"name": self.name,
+                                     "schema": self.schema.to_json(),
+                                     "version": constants.VERSION},
+                                    backup=True)
+
+    # ------------------------------------------------------------------
+    # blocks
+    # ------------------------------------------------------------------
+    def list_block_dirs(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for entry in sorted(os.listdir(self.dir)):
+            if not entry.startswith(constants.BLOCK_PREFIX):
+                continue
+            if entry.endswith((".partial", ".old", ".broke", ".lock")):
+                continue
+            p = os.path.join(self.dir, entry)
+            if os.path.isdir(p):
+                out.append(p)
+        return out
+
+    def new_block_name(self) -> str:
+        return f"{constants.BLOCK_PREFIX}{uuid.uuid4().hex[:12]}"
+
+    def block_infos(self) -> dict[str, blocks.BlockInfo]:
+        out = {}
+        for bdir in self.list_block_dirs():
+            info = blocks.load_block_info(bdir)
+            if info is not None:
+                out[bdir] = info
+        return out
+
+    def record_count(self) -> int:
+        return sum(i.num_records for i in self.block_infos().values())
+
+    # ------------------------------------------------------------------
+    # ingestion (table_ingest.go:33-82)
+    # ------------------------------------------------------------------
+    def ingest_records(self, records: list[dict]) -> None:
+        """Append typed records ({"i","s","e"} dicts) to the WAL."""
+        if not records:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        self.load_info()
+        update_schema_stats(self.schema, records, self.flags.skip_outliers)
+        rowstore.append_records_to_log(self.dir, records)
+        self.save_info()
+        if not self.flags.skip_compact:
+            self.maybe_compact()
+
+    def should_compact(self) -> bool:
+        count, size = rowstore.log_stats(self.dir)
+        return (count > constants.FILE_DIGEST_THRESHOLD
+                or size > constants.SIZE_DIGEST_THRESHOLD)
+
+    def maybe_compact(self) -> None:
+        if self.should_compact():
+            from .digest import digest_records
+            debug("auto-compacting row store for", self.name)
+            digest_records(self)
+
+    # ------------------------------------------------------------------
+    # info reporting (printer.go:583-598)
+    # ------------------------------------------------------------------
+    def table_info(self) -> dict:
+        count = 0
+        size = 0
+        for info in self.block_infos().values():
+            count += info.num_records
+            size += info.size
+        return {
+            "count": count,
+            "storageSize": size,
+            "avgObjSize": (size / count) if count else 0.0,
+            "columns": {
+                "strs": self.schema.cols_of_type(constants.STR_VAL),
+                "ints": self.schema.cols_of_type(constants.INT_VAL),
+                "sets": self.schema.cols_of_type(constants.SET_VAL),
+            },
+        }
+
+
+def list_tables(flags: Flags) -> list[str]:
+    if not os.path.isdir(flags.dir):
+        return []
+    return sorted(e for e in os.listdir(flags.dir)
+                  if os.path.isdir(os.path.join(flags.dir, e)))
