@@ -1,0 +1,580 @@
+"""Query engine orchestrator.
+
+The reference's LoadAndQueryRecords (src/lib/table_query.go:18) fans a
+goroutine per block through decode + per-record scan, then tree-merges Go
+maps.  Here the plan is vectorized end-to-end:
+
+  bind     resolve columns/types, build the static ScanConfig, evaluate
+           regexes over the global dictionary into bitsets
+  scan     batches of blocks -> [B, CHUNK] device arrays -> one jitted
+           scan_batch call per batch (ops/scan.py)
+  merge    device partial aggregates land in fixed-shape arrays; the host
+           merges the (small) per-batch group tables and reconstitutes
+           histogram objects (query/hist.py) with exact reference math
+  finish   translate group keys to display strings (aggregate.go:284-324),
+           sort/prune (aggregate.go:469-525), build the Cumulative row
+
+Block skipping replicates ShouldLoadBlockFromDir's min/max pruning
+(table_block_io.go:110-182).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import blocks as blockio
+from ..config import Flags
+from ..constants import (CHUNK_SIZE, GROUP_DELIMITER, INT_VAL,
+                         INTERNAL_RESULT_LIMIT, MISSING_VALUE, NO_VAL,
+                         SET_VAL, SORT_COUNT, STR_VAL)
+from ..debug import debug, error, warn
+from ..table import Table
+from .hist import BasicHist, MultiHist, basic_bucket_layout, multi_hist_layout
+from .hll import HLL
+from .spec import AggDef, FilterDef, QueryParams, Result
+
+MISSING_I64 = -1  # == MaxUint64 in two's complement
+
+
+@dataclass
+class QueryResults:
+    results: dict[str, Result] = field(default_factory=dict)
+    time_results: dict[int, dict[str, Result]] = field(default_factory=dict)
+    cumulative: Result | None = None
+    matched_count: int = 0
+    sorted: list[Result] = field(default_factory=list)
+    samples: list[dict] = field(default_factory=list)
+
+
+class BoundQuery:
+    """Params resolved against a table: column metadata, static scan
+    config, dynamic filter constants and regex bitsets."""
+
+    def __init__(self, table: Table, params: QueryParams, flags: Flags):
+        from ..ops import scan as scanops
+        self.table = table
+        self.params = params
+        self.flags = flags
+        schema = table.schema
+
+        self.col_types: dict[str, int] = {}
+
+        def need(col: str, want: int, what: str):
+            t = schema.col_type(col)
+            if t == NO_VAL:
+                error("query references unknown column", col, f"({what})")
+            if want != NO_VAL and t != want:
+                error("column", col, "has wrong type for", what)
+            self.col_types[col] = t
+            return t
+
+        for g in params.groups:
+            t = need(g, NO_VAL, "group")
+            if t == SET_VAL:
+                error("cannot group by set column", g)
+        for d in params.distincts:
+            t = need(d, NO_VAL, "distinct")
+            if t == SET_VAL:
+                error("cannot count distinct on set column", d)
+        for a in params.aggs:
+            need(a.col, INT_VAL, "aggregation")
+        if params.time_bucket > 0:
+            need(params.time_col, INT_VAL, "time column")
+        if params.weight_col:
+            need(params.weight_col, INT_VAL, "weight column")
+
+        kinds = {"int": INT_VAL, "str": STR_VAL, "set": SET_VAL}
+        filter_specs = []
+        filter_vals = []
+        bitsets = []
+        self.display_strings: dict[str, list[str]] = {}
+        for f in params.filters:
+            need(f.col, kinds[f.kind], f"{f.kind} filter")
+            bidx = -1
+            if f.kind == "int":
+                filter_vals.append(int(f.value))
+            elif f.op in ("re", "nre"):
+                strings = self._strings(f.col)
+                rx = re.compile(f.value)
+                bits = np.fromiter((rx.search(s) is not None for s in strings),
+                                   dtype=bool, count=len(strings))
+                if len(bits) == 0:
+                    bits = np.zeros(1, dtype=bool)
+                bidx = len(bitsets)
+                bitsets.append(bits)
+                filter_vals.append(0)
+            else:
+                # eq/neq/in/nin resolve the literal to its global id;
+                # -1 => never-ingested string, matches nothing (eq) /
+                # everything populated (neq)
+                filter_vals.append(self.table.dicts.get(f.col).lookup(f.value))
+            filter_specs.append(scanops.FilterSpec(f.col, f.op, f.kind, bidx))
+
+        aggspecs = []
+        self.agg_layouts = []
+        for a in params.aggs:
+            kid = schema.key_table[a.col]
+            info = schema.int_info.get(kid)
+            if info is None:
+                error("no cached int info for aggregation column", a.col)
+            want_hist = a.op == "hist"
+            sub_edges = ()
+            if want_hist and a.hist_type == "multi":
+                subs = multi_hist_layout(info.min, info.max, params.hist_bucket)
+                nv = sum(s[3] for s in subs)
+                bs = 0
+                sub_edges = tuple(subs)
+            elif want_hist:
+                bs, nv = basic_bucket_layout(info.min, info.max,
+                                             params.hist_bucket)
+            else:
+                bs, nv = 0, 0
+            self.agg_layouts.append((info, want_hist, a.hist_type))
+            aggspecs.append(scanops.AggSpec(
+                a.col, hist_min=info.min, bucket_size=bs, num_values=nv,
+                discard_min=info.min, discard_max=info.max * 10,
+                sub_edges=sub_edges))
+
+        max_groups = flags.max_groups or INTERNAL_RESULT_LIMIT
+        self.config = scanops.ScanConfig(
+            group_cols=params.groups,
+            aggs=tuple(aggspecs),
+            filters=tuple(filter_specs),
+            distinct_cols=params.distincts,
+            time_col=params.time_col if params.time_bucket > 0 else "",
+            weight_col=params.weight_col,
+            max_groups=max_groups,
+            max_hist_groups=min(max_groups, flags.max_hist_groups),
+            track_outliers=any(a.num_values > 0 for a in aggspecs),
+            want_matched_mask=params.samples,
+        )
+        self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
+        self.bitsets = tuple(bitsets)
+
+        cols = set(params.groups) | set(params.distincts)
+        cols |= {a.col for a in params.aggs}
+        cols |= {f.col for f in params.filters}
+        if self.config.time_col:
+            cols.add(params.time_col)
+        if params.weight_col:
+            cols.add(params.weight_col)
+        self.needed_cols = sorted(cols)
+
+    def _strings(self, col: str) -> list[str]:
+        """Global dict strings with -str-replace applied (the reference
+        rewrites strings at decode, column_store_io.go:517-546, so both
+        regex filters and display see replaced values)."""
+        if col in self.display_strings:
+            return self.display_strings[col]
+        strings = list(self.table.dicts.get(col).strings)
+        rep = self.params.str_replace.get(col)
+        if rep:
+            rx = re.compile(rep[0])
+            strings = [rx.sub(rep[1], s) for s in strings]
+        self.display_strings[col] = strings
+        return strings
+
+    # ------------------------------------------------------------------
+    def should_scan_block(self, info: blockio.BlockInfo) -> bool:
+        """Min/max block pruning (table_block_io.go:110-182): only int
+        gt/lt/eq filters participate."""
+        if not info.int_info:
+            return True
+        schema = self.table.schema
+        for i, f in enumerate(self.params.filters):
+            if f.kind != "int" or f.op not in ("gt", "lt", "eq"):
+                continue
+            kid = schema.key_table.get(f.col)
+            ii = info.int_info.get(kid)
+            v = int(f.value)
+            if ii is None:
+                return False  # filter requires a column this block lacks
+            if f.op == "gt" and ii.max <= v:
+                return False
+            if f.op == "lt" and ii.min >= v:
+                return False
+            if f.op == "eq" and (ii.min > v or ii.max < v):
+                return False
+        return True
+
+
+def _pad_pow2(n: int, floor: int = 128) -> int:
+    v = floor
+    while v < n:
+        v *= 2
+    return v
+
+
+class BatchLoader:
+    """Assembles [B, C] device-ready arrays for a batch of blocks."""
+
+    def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int):
+        self.bound = bound
+        self.block_dirs = block_dirs
+        self.C = C
+
+    def load(self):
+        bound = self.bound
+        B = len(self.block_dirs)
+        C = self.C
+        R = B * C
+        schema = bound.table.schema
+        nrec = np.zeros(B, dtype=np.int32)
+        cols = {}
+        set_cols = {}
+        if not any(bound.col_types.get(n) != SET_VAL for n in bound.needed_cols):
+            # bare count(*) query: synthesize one lane so the kernel has a
+            # shape to scan; row_in_range does the counting
+            cols["__count__"] = (np.zeros((B, C), dtype=np.int64),
+                                 np.ones((B, C), dtype=bool))
+        for name in bound.needed_cols:
+            typ = bound.col_types[name]
+            if typ == SET_VAL:
+                set_cols[name] = []
+            else:
+                cols[name] = (np.zeros((B, C), dtype=np.int64),
+                              np.zeros((B, C), dtype=bool))
+
+        for bi, bdir in enumerate(self.block_dirs):
+            info = blockio.load_block_info(bdir)
+            if info is None:
+                continue
+            n = min(info.num_records, C)
+            nrec[bi] = n
+            data = blockio.load_block_columns(bdir, schema, bound.needed_cols)
+            for name, cd in data.items():
+                if isinstance(cd, blockio.SetColumnData):
+                    rows = np.repeat(np.arange(len(cd.offsets) - 1),
+                                     np.diff(cd.offsets))
+                    set_cols[name].append((rows + bi * C, cd.values))
+                else:
+                    values, valid = cols[name]
+                    if isinstance(cd, blockio.IntColumnData):
+                        values[bi, :len(cd.values)] = cd.values
+                        valid[bi, :len(cd.valid)] = cd.valid
+                    else:
+                        values[bi, :len(cd.ids)] = cd.ids
+                        valid[bi, :len(cd.valid)] = cd.valid
+
+        set_aux = {}
+        for name, chunks in set_cols.items():
+            if chunks:
+                rows = np.concatenate([c[0] for c in chunks])
+                vals = np.concatenate([c[1] for c in chunks]).astype(np.int64)
+            else:
+                rows = np.zeros(0, dtype=np.int64)
+                vals = np.zeros(0, dtype=np.int64)
+            m = _pad_pow2(max(len(rows), 1))
+            prow = np.full(m, R, dtype=np.int32)
+            pval = np.full(m, -2, dtype=np.int64)
+            prow[:len(rows)] = rows
+            pval[:len(vals)] = vals
+            set_aux[name] = (prow, pval)
+        return cols, nrec, set_aux
+
+
+def run_query(table: Table, params: QueryParams,
+              flags: Flags | None = None) -> QueryResults:
+    import jax.numpy as jnp
+
+    from ..ops.scan import SENTINEL, scan_batch
+
+    flags = flags or table.flags
+    if not table.load_info() and not table.exists():
+        error("table", table.name, "can not be loaded or does not exist in",
+              flags.dir)
+    bound = BoundQuery(table, params, flags)
+
+    infos = table.block_infos()
+    block_dirs = [d for d, info in infos.items()
+                  if bound.should_scan_block(info)]
+    skipped = len(infos) - len(block_dirs)
+    if skipped:
+        debug("skipped", skipped, "blocks via min/max pruning")
+
+    maxrec = max((infos[d].num_records for d in block_dirs), default=0)
+    C = CHUNK_SIZE if maxrec > 8192 else _pad_pow2(max(maxrec, 1))
+    B = max(1, min(flags.device_batch, max(len(block_dirs), 1)))
+
+    acc = _Accumulator(bound)
+    for start in range(0, len(block_dirs), B):
+        batch = block_dirs[start: start + B]
+        batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad w/ repeats
+        loader = BatchLoader(bound, batch_dirs, C)
+        cols, nrec, set_aux = loader.load()
+        nrec[len(batch):] = 0  # padded repeats contribute nothing
+        out = scan_batch(bound.config,
+                         {k: (jnp.asarray(v), jnp.asarray(m))
+                          for k, (v, m) in cols.items()},
+                         jnp.asarray(nrec), jnp.asarray(bound.filter_vals),
+                         tuple(jnp.asarray(b) for b in bound.bitsets),
+                         jnp.asarray(params.time_bucket or 1, dtype=jnp.int64),
+                         {k: (jnp.asarray(r), jnp.asarray(v))
+                          for k, (r, v) in set_aux.items()})
+        acc.absorb(out)
+        if params.samples and len(acc.sample_rows) < max(params.limit, 1) * 4:
+            acc.collect_samples(out, batch_dirs, nrec, C)
+
+    return acc.finish()
+
+
+class _Accumulator:
+    """Merges per-batch device partials into the reference result model."""
+
+    def __init__(self, bound: BoundQuery):
+        self.bound = bound
+        self.params = bound.params
+        # key tuple -> accumulated plain sums
+        self.rows: dict[tuple, dict] = {}
+        self.matched_count = 0
+        self.sample_rows: list[dict] = []
+
+    def absorb(self, out) -> None:
+        from ..ops.scan import SENTINEL
+        p = self.params
+        num_groups = int(out["num_groups"])
+        S = self.bound.config.max_groups
+        if num_groups > S:
+            warn("group cap", S, "exceeded; highest-keyed groups dropped")
+        n = min(num_groups, S)
+
+        keys = np.asarray(out["keys"][:n])
+        counts = np.asarray(out["count"][:n])
+        samples = np.asarray(out["samples"][:n])
+        self.matched_count += int(samples.sum())
+
+        aggdata = []
+        nkeys = keys.shape[1]
+        for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
+            d = {
+                "exists": np.asarray(out[f"agg{ai}_exists"][:n]),
+                "count": np.asarray(out[f"agg{ai}_count"][:n]),
+                "wv": np.asarray(out[f"agg{ai}_wv"][:n]),
+                "min": np.asarray(out[f"agg{ai}_min"][:n]),
+                "max": np.asarray(out[f"agg{ai}_max"][:n]),
+            }
+            if f"agg{ai}_hist" in out:
+                Sh = self.bound.config.max_hist_groups
+                if num_groups > Sh:
+                    error("histogram group cap", Sh, "exceeded",
+                          f"({num_groups} groups); raise flags.max_hist_groups")
+                d["hist"] = np.asarray(out[f"agg{ai}_hist"][:n])
+                if int(out.get(f"agg{ai}_nout", 0)) > 0:
+                    og = np.asarray(out[f"agg{ai}_out_gid"])
+                    ov = np.asarray(out[f"agg{ai}_out_val"])
+                    sel = og >= 0
+                    d["outliers"] = (og[sel], ov[sel])
+            aggdata.append(d)
+
+        for gi in range(n):
+            if samples[gi] == 0 and counts[gi] == 0:
+                continue  # dead sentinel slot
+            kt = tuple(int(k) for k in keys[gi])
+            if kt and kt[0] == SENTINEL:
+                continue
+            row = self.rows.get(kt)
+            if row is None:
+                row = {"count": 0, "samples": 0, "aggs": [None] * len(aggdata),
+                       "distinct": None}
+                self.rows[kt] = row
+            row["count"] += int(counts[gi])
+            row["samples"] += int(samples[gi])
+            for ai, d in enumerate(aggdata):
+                if not d["exists"][gi]:
+                    continue
+                cur = row["aggs"][ai]
+                if cur is None:
+                    cur = {"count": 0, "wv": 0, "min": None, "max": None,
+                           "hist": None, "outliers": []}
+                    row["aggs"][ai] = cur
+                cur["count"] += int(d["count"][gi])
+                cur["wv"] += int(d["wv"][gi])
+                if d["count"][gi] > 0:
+                    mn, mx = int(d["min"][gi]), int(d["max"][gi])
+                    cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                    cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                if "hist" in d:
+                    h = d["hist"][gi]
+                    cur["hist"] = h if cur["hist"] is None else cur["hist"] + h
+                if "outliers" in d:
+                    og, ov = d["outliers"]
+                    cur["outliers"].extend(int(v) for v in ov[og == gi])
+
+        if p.distincts:
+            self._absorb_distinct(out, nkeys)
+
+    def _absorb_distinct(self, out, nkeys: int) -> None:
+        from ..ops.scan import SENTINEL
+        mask = np.asarray(out["pair_mask"])
+        if not mask.any():
+            return
+        skeys = np.asarray(out["sorted_keys"])[mask]
+        ng = nkeys
+        p = self.params
+        int_only = all(self.bound.col_types[d] == INT_VAL for d in p.distincts)
+        for rowkeys in skeys:
+            kt = tuple(int(k) for k in rowkeys[:ng])
+            if kt and kt[0] == SENTINEL:
+                continue
+            row = self.rows.get(kt)
+            if row is None:
+                continue
+            if row["distinct"] is None:
+                row["distinct"] = HLL()
+            dvals = rowkeys[ng:]
+            if int_only:
+                # fast path: 8-byte LE two's-complement packing
+                # (aggregate.go:208-222; missing -1 == MaxUint64)
+                buf = b"".join((int(v) & MISSING_VALUE).to_bytes(8, "little")
+                               for v in dvals)
+            else:
+                parts = []
+                for d, v in zip(p.distincts, dvals):
+                    if int(v) == MISSING_I64:
+                        parts.append("")
+                    elif self.bound.col_types[d] == STR_VAL:
+                        parts.append(self.bound._strings(d)[int(v)])
+                    else:
+                        parts.append(str(int(v)))
+                buf = (GROUP_DELIMITER.join(parts) + GROUP_DELIMITER).encode()
+            row["distinct"].add(buf)
+
+    def collect_samples(self, out, batch_dirs, nrec, C) -> None:
+        matched = np.asarray(out["matched"])
+        limit = max(self.params.limit, 1)
+        schema = self.bound.table.schema
+        all_cols = sorted(schema.key_table)
+        for bi, bdir in enumerate(batch_dirs):
+            if len(self.sample_rows) >= limit * 4 or nrec[bi] == 0:
+                continue
+            rows = np.nonzero(matched[bi, :nrec[bi]])[0]
+            if not len(rows):
+                continue
+            data = blockio.load_block_columns(bdir, schema, all_cols)
+            for r in rows[: limit * 4 - len(self.sample_rows)]:
+                sample = {}
+                for name, cd in data.items():
+                    if isinstance(cd, blockio.IntColumnData):
+                        if cd.valid[r]:
+                            sample[name] = int(cd.values[r])
+                    elif isinstance(cd, blockio.StrColumnData):
+                        if cd.valid[r]:
+                            sample[name] = self.bound._strings(name)[int(cd.ids[r])]
+                    else:
+                        lo, hi = int(cd.offsets[r]), int(cd.offsets[r + 1])
+                        if hi > lo:
+                            strs = self.bound._strings(name)
+                            sample[name] = [strs[int(v)] for v in cd.values[lo:hi]]
+                self.sample_rows.append(sample)
+
+    # ------------------------------------------------------------------
+    def finish(self) -> QueryResults:
+        p = self.params
+        bound = self.bound
+        qr = QueryResults()
+        qr.matched_count = self.matched_count
+        qr.samples = self.sample_rows
+
+        time_mode = p.time_bucket > 0
+        group_slice = slice(1, None) if time_mode else slice(None)
+
+        per_time: dict[int, dict[str, Result]] = {}
+        flat: dict[str, Result] = {}
+        for kt, row in self.rows.items():
+            res = self._make_result(kt[group_slice], row)
+            if time_mode:
+                tb = kt[0]
+                bucket = per_time.setdefault(tb, {})
+                prev = bucket.get(res.group_key)
+                if prev is None:
+                    bucket[res.group_key] = res
+                else:
+                    prev.combine(res)
+                # per-group totals live in Results (aggregate.go:156-169)
+                tot = flat.get(res.group_key)
+                if tot is None:
+                    tot = Result()
+                    tot.group_key = res.group_key
+                    tot.key_tuple = res.key_tuple
+                    flat[res.group_key] = tot
+                tot.count += res.count
+                tot.samples += res.samples
+            else:
+                prev = flat.get(res.group_key)
+                if prev is None:
+                    flat[res.group_key] = res
+                else:
+                    # str-replace collisions overwrite in the reference's
+                    # translate_group_by map; counts merge here instead
+                    prev.combine(res)
+
+        qr.results = flat
+        qr.time_results = per_time
+
+        # Cumulative row (aggregate.go:422-428,434-436)
+        cumulative = Result()
+        cumulative.group_key = "TOTAL"
+        if len(p.groups) > 1:
+            cumulative.group_key += GROUP_DELIMITER * (len(p.groups) - 1)
+        for res in flat.values():
+            cumulative.combine(res)
+        qr.cumulative = cumulative
+
+        self._sort(qr)
+        return qr
+
+    def _make_result(self, key_tuple: tuple, row: dict) -> Result:
+        p = self.params
+        bound = self.bound
+        res = Result()
+        res.key_tuple = key_tuple
+        res.count = row["count"]
+        res.samples = row["samples"]
+        res.distinct = row["distinct"]
+
+        parts = []
+        if not p.groups:
+            parts.append("total")
+        else:
+            for col, v in zip(p.groups, key_tuple):
+                if v == MISSING_I64:
+                    parts.append("")
+                elif bound.col_types[col] == STR_VAL:
+                    strings = bound._strings(col)
+                    parts.append(strings[v] if 0 <= v < len(strings) else "")
+                else:
+                    parts.append(str(v))
+                parts.append(GROUP_DELIMITER)
+        res.group_key = "".join(parts)
+
+        for (adef, (info, want_hist, hist_type), cur) in zip(
+                p.aggs, bound.agg_layouts, row["aggs"]):
+            if cur is None:
+                continue
+            cls = MultiHist if (want_hist and hist_type == "multi") else BasicHist
+            h = cls(info.min, info.max, p.hist_bucket, percentile_mode=want_hist)
+            h.load_device_partial(
+                cur["count"], cur["wv"], cur.get("hist"),
+                outlier_values=cur["outliers"],
+                vmin=cur["min"], vmax=cur["max"])
+            res.hists[adef.col] = h
+        return res
+
+    def _sort(self, qr: QueryResults) -> None:
+        p = self.params
+        if not p.order_by:
+            return
+
+        def sort_key(r: Result):
+            if p.order_by == SORT_COUNT:
+                return r.count
+            h = r.hists.get(p.order_by)
+            return h.mean() if h else 0.0
+
+        qr.sorted = sorted(qr.results.values(), key=sort_key, reverse=True)
+        if p.order_asc:
+            qr.sorted.reverse()
