@@ -86,6 +86,19 @@ class Flags:
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in data.items() if k in known})
 
+    def merge_decoded(self, payload: str) -> "Flags":
+        """Overlay serialized flags onto this instance, skipping zero
+        values.  Mirrors the reference's gob decode-into-FLAGS
+        (config.go:185-192): gob omits zero fields, so command-line flags
+        like -encode-results survive an incoming query broadcast."""
+        data = json.loads(payload)
+        known = {f.name for f in dataclasses.fields(self)}
+        merged = dataclasses.replace(self)
+        for k, v in data.items():
+            if k in known and v not in (False, 0, 0.0, ""):
+                setattr(merged, k, v)
+        return merged
+
     def split_list(self, value: str) -> list[str]:
         if not value:
             return []

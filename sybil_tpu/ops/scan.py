@@ -75,9 +75,8 @@ def _trunc_div(x, d):
     return jnp.where(x >= 0, q, -q)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def scan_batch(config: ScanConfig, cols, nrec, filter_vals, bitsets,
-               time_bucket, set_aux):
+def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+              time_bucket, set_aux):
     """
     cols:        {name: (values int64[B,C], valid bool[B,C])}
     nrec:        int32[B] valid records per block
@@ -273,3 +272,6 @@ def scan_batch(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         out["matched"] = matched.reshape(B, C)
 
     return out
+
+
+scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)

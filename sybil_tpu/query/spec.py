@@ -138,7 +138,9 @@ class Result:
                 self.hists[k] = h.clone()
         if other.distinct is not None:
             if self.distinct is None:
-                self.distinct = other.distinct
+                from .hll import HLL
+                self.distinct = HLL()
+                self.distinct.registers = other.distinct.registers.copy()
             else:
                 self.distinct.merge(other.distinct)
         self.samples += other.samples

@@ -1,0 +1,190 @@
+"""CLI end-to-end tests, modeled on the reference's api_test.go
+subprocess pattern and scripts/basic_aggregation_test.sh (two db dirs as
+fake nodes, encode-flags/encode-results/aggregate protocol)."""
+
+import io
+import json
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_records(n, seed=0):
+    rng = random.Random(seed)
+    hosts = ["www.facebook.com", "www.yahoo.com", "www.google.com",
+             "www.reddit.com", "github.com"]
+    lines = []
+    for i in range(n):
+        lines.append(json.dumps({
+            "status": str(rng.choice([200, 403, 404, 500, 503])),
+            "host": rng.choice(hosts),
+            "ping": abs(rng.gauss(60, 20)),
+            "weight": rng.choice([1, 10, 100]),
+            "time": 1700000000 + rng.randint(-100000, 100000),
+        }))
+    return "\n".join(lines) + "\n"
+
+
+def run_cli(args, stdin="", cwd=None):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=REPO)
+    proc = subprocess.run([sys.executable, "-m", "sybil_tpu", *args],
+                          input=stdin, capture_output=True, text=True,
+                          cwd=cwd or REPO, env=env, timeout=300)
+    assert proc.returncode == 0, f"{args}: {proc.stderr[-2000:]}"
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clidb"))
+    data = gen_records(500)
+    run_cli(["ingest", "-dir", d, "-table", "uptime"], stdin=data)
+    run_cli(["digest", "-dir", d, "-table", "uptime"])
+    return d
+
+
+def test_version():
+    out = run_cli(["version", "-json"])
+    assert "version" in json.loads(out)
+
+
+def test_info(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime", "-info", "-json"])
+    info = json.loads(out)
+    assert info["count"] == 500
+    assert "ping" in info["columns"]["ints"]
+    assert "host" in info["columns"]["strs"]
+
+
+def test_tables(db):
+    out = run_cli(["query", "-dir", db, "-tables", "-json"])
+    assert json.loads(out) == ["uptime"]
+
+
+def test_query_avg_json(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-group", "host", "-int", "ping", "-op", "avg", "-json"])
+    rows = json.loads(out)
+    assert len(rows) == 5
+    total = sum(r["Count"] for r in rows)
+    assert total == 500
+    for r in rows:
+        assert 40 < r["ping"] < 80
+        assert "host" in r
+
+
+def test_query_hist_json(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-group", "status", "-int", "ping", "-op", "hist",
+                   "-json"])
+    rows = json.loads(out)
+    assert len(rows) == 5
+    for r in rows:
+        assert "percentiles" in r["ping"]
+        assert len(r["ping"]["percentiles"]) == 100
+        assert r["ping"]["samples"] > 0
+
+
+def test_query_filters(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-group", "host", "-int-filter", "ping:gt:60", "-json"])
+    rows = json.loads(out)
+    assert sum(r["Count"] for r in rows) < 500
+
+
+def test_query_text_output(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-group", "host", "-int", "ping", "-op", "avg"])
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].startswith("TOTAL")  # cumulative first
+    assert any("www.google.com" in l for l in lines)
+    assert any(l.strip().startswith("ping") for l in lines)
+
+
+def test_samples(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-samples", "-limit", "7", "-json"])
+    rows = json.loads(out)
+    assert len(rows) == 7
+    assert "host" in rows[0] and "ping" in rows[0]
+
+
+def test_time_rollup(db):
+    out = run_cli(["query", "-dir", db, "-table", "uptime",
+                   "-time", "-time-bucket", "50000",
+                   "-group", "host", "-json"])
+    rows = json.loads(out)
+    assert len(rows) >= 2
+    total = sum(r["Count"] for bucket in rows.values() for r in bucket)
+    assert total == 500
+
+
+def test_distributed_aggregation_protocol(tmp_path):
+    """The basic_aggregation_test.sh flow with two directory 'nodes'."""
+    d1, d2 = str(tmp_path / "db-1"), str(tmp_path / "db-2")
+    run_cli(["ingest", "-dir", d1, "-table", "a"], stdin=gen_records(300, 1))
+    run_cli(["ingest", "-dir", d2, "-table", "a"], stdin=gen_records(300, 2))
+    run_cli(["digest", "-dir", d1, "-table", "a"])
+    run_cli(["digest", "-dir", d2, "-table", "a"])
+
+    fgob = run_cli(["query", "-dir", d1, "-table", "a", "-encode-flags",
+                    "-int", "ping", "-group", "host", "-op", "avg", "-json"])
+    r1 = run_cli(["query", "-decode-flags", "-encode-results"], stdin=fgob)
+    # node 2 runs the same query against its own dir
+    fgob2 = run_cli(["query", "-dir", d2, "-table", "a", "-encode-flags",
+                     "-int", "ping", "-group", "host", "-op", "avg",
+                     "-json"])
+    r2 = run_cli(["query", "-decode-flags", "-encode-results"], stdin=fgob2)
+
+    resdir = tmp_path / "results"
+    resdir.mkdir()
+    (resdir / "r1.json").write_text(r1)
+    (resdir / "r2.json").write_text(r2)
+
+    out = run_cli(["aggregate", str(resdir)], stdin=fgob)
+    rows = json.loads(out)
+    assert len(rows) == 5
+    assert sum(r["Count"] for r in rows) == 600
+
+    # cross-check the merged average against a single combined table
+    d3 = str(tmp_path / "db-3")
+    run_cli(["ingest", "-dir", d3, "-table", "a"],
+            stdin=gen_records(300, 1) + gen_records(300, 2))
+    run_cli(["digest", "-dir", d3, "-table", "a"])
+    combined = json.loads(run_cli(
+        ["query", "-dir", d3, "-table", "a", "-int", "ping", "-group",
+         "host", "-op", "avg", "-json"]))
+    merged = {r["host"]: r for r in rows}
+    single = {r["host"]: r for r in combined}
+    assert set(merged) == set(single)
+    for host in single:
+        assert merged[host]["Count"] == single[host]["Count"]
+        assert abs(merged[host]["ping"] - single[host]["ping"]) < 1e-6
+
+
+def test_rebuild(db, tmp_path):
+    import shutil
+    d = str(tmp_path / "db")
+    shutil.copytree(db, d)
+    os.unlink(os.path.join(d, "uptime", "info.json"))
+    bak = os.path.join(d, "uptime", "info.json.bak")
+    if os.path.exists(bak):
+        os.unlink(bak)
+    run_cli(["rebuild", "-dir", d, "-table", "uptime"])
+    out = run_cli(["query", "-dir", d, "-table", "uptime",
+                   "-group", "host", "-json"])
+    assert sum(r["Count"] for r in json.loads(out)) == 500
+
+
+def test_trim_list(db):
+    out = run_cli(["trim", "-dir", db, "-table", "uptime", "-mb", "0",
+                   "-before", "9999999999"])
+    assert "block" in out  # every block is older than the far-future cutoff
