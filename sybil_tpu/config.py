@@ -76,6 +76,7 @@ class Flags:
     max_groups: int = 0              # 0 -> INTERNAL_RESULT_LIMIT
     max_hist_groups: int = 4096      # group cap when every group carries buckets
     platform: str = ""               # force jax platform ("cpu" for tests)
+    data_shards: int = 0             # >1: shard the scan over a device mesh
 
     def encode(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -263,10 +263,13 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
                 jnp.where(hcontrib, sweight, 0), flat_id,
                 num_segments=Sh * nv).reshape(Sh, nv)
             if config.track_outliers:
+                # outliers keyed by group-key tuple (not local gid) so the
+                # host fix-up also works on sharded partials
                 out_rows = hcontrib & is_out
                 out[f"agg{ai}_nout"] = jnp.sum(out_rows.astype(jnp.int64))
-                out[f"agg{ai}_out_gid"] = jnp.where(out_rows, cgid, -1)
+                out[f"agg{ai}_out_mask"] = out_rows
                 out[f"agg{ai}_out_val"] = jnp.where(out_rows, v, 0)
+                out["sorted_gkeys"] = jnp.stack(gkeys, axis=1)
 
     if config.want_matched_mask:
         out["matched"] = matched.reshape(B, C)

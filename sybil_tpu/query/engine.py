@@ -140,6 +140,11 @@ class BoundQuery:
                 sub_edges=sub_edges))
 
         max_groups = flags.max_groups or INTERNAL_RESULT_LIMIT
+        any_hist = any(a.num_values > 0 for a in aggspecs)
+        max_hist_groups = min(max_groups, flags.max_hist_groups)
+        if flags.data_shards > 1 and any_hist:
+            # the sharded merge moves hist rows with group rows: caps align
+            max_groups = max_hist_groups
         self.config = scanops.ScanConfig(
             group_cols=params.groups,
             aggs=tuple(aggspecs),
@@ -148,7 +153,7 @@ class BoundQuery:
             time_col=params.time_col if params.time_bucket > 0 else "",
             weight_col=params.weight_col,
             max_groups=max_groups,
-            max_hist_groups=min(max_groups, flags.max_hist_groups),
+            max_hist_groups=max_hist_groups,
             track_outliers=any(a.num_values > 0 for a in aggspecs),
             want_matched_mask=params.samples,
         )
@@ -300,6 +305,17 @@ def run_query(table: Table, params: QueryParams,
     C = CHUNK_SIZE if maxrec > 8192 else _pad_pow2(max(maxrec, 1))
     B = max(1, min(flags.device_batch, max(len(block_dirs), 1)))
 
+    mesh = None
+    if flags.data_shards > 1:
+        has_set = any(f.kind == "set" for f in params.filters)
+        if has_set or params.samples:
+            debug("sharded scan unsupported for this query; single-device")
+        else:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(flags.data_shards)
+            D = flags.data_shards
+            B = max(B, D) // D * D  # batch divides evenly across the mesh
+
     acc = _Accumulator(bound)
     for start in range(0, len(block_dirs), B):
         batch = block_dirs[start: start + B]
@@ -307,14 +323,20 @@ def run_query(table: Table, params: QueryParams,
         loader = BatchLoader(bound, batch_dirs, C)
         cols, nrec, set_aux = loader.load()
         nrec[len(batch):] = 0  # padded repeats contribute nothing
-        out = scan_batch(bound.config,
-                         {k: (jnp.asarray(v), jnp.asarray(m))
-                          for k, (v, m) in cols.items()},
-                         jnp.asarray(nrec), jnp.asarray(bound.filter_vals),
-                         tuple(jnp.asarray(b) for b in bound.bitsets),
-                         jnp.asarray(params.time_bucket or 1, dtype=jnp.int64),
-                         {k: (jnp.asarray(r), jnp.asarray(v))
-                          for k, (r, v) in set_aux.items()})
+        jcols = {k: (jnp.asarray(v), jnp.asarray(m))
+                 for k, (v, m) in cols.items()}
+        jnrec = jnp.asarray(nrec)
+        jfv = jnp.asarray(bound.filter_vals)
+        jbits = tuple(jnp.asarray(b) for b in bound.bitsets)
+        jtb = jnp.asarray(params.time_bucket or 1, dtype=jnp.int64)
+        if mesh is not None:
+            from ..parallel.mesh import sharded_scan
+            out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv, jbits,
+                               jtb)
+        else:
+            out = scan_batch(bound.config, jcols, jnrec, jfv, jbits, jtb,
+                             {k: (jnp.asarray(r), jnp.asarray(v))
+                              for k, (r, v) in set_aux.items()})
         acc.absorb(out)
         if params.samples and len(acc.sample_rows) < max(params.limit, 1) * 4:
             acc.collect_samples(out, batch_dirs, nrec, C)
@@ -364,10 +386,10 @@ class _Accumulator:
                           f"({num_groups} groups); raise flags.max_hist_groups")
                 d["hist"] = np.asarray(out[f"agg{ai}_hist"][:n])
                 if int(out.get(f"agg{ai}_nout", 0)) > 0:
-                    og = np.asarray(out[f"agg{ai}_out_gid"])
-                    ov = np.asarray(out[f"agg{ai}_out_val"])
-                    sel = og >= 0
-                    d["outliers"] = (og[sel], ov[sel])
+                    mask = np.asarray(out[f"agg{ai}_out_mask"])
+                    d["outlier_pairs"] = (
+                        np.asarray(out["sorted_gkeys"])[mask],
+                        np.asarray(out[f"agg{ai}_out_val"])[mask])
             aggdata.append(d)
 
         for gi in range(n):
@@ -400,9 +422,15 @@ class _Accumulator:
                 if "hist" in d:
                     h = d["hist"][gi]
                     cur["hist"] = h if cur["hist"] is None else cur["hist"] + h
-                if "outliers" in d:
-                    og, ov = d["outliers"]
-                    cur["outliers"].extend(int(v) for v in ov[og == gi])
+
+        for ai, d in enumerate(aggdata):
+            if "outlier_pairs" not in d:
+                continue
+            gk, ov = d["outlier_pairs"]
+            for krow, v in zip(gk, ov):
+                row = self.rows.get(tuple(int(k) for k in krow))
+                if row is not None and row["aggs"][ai] is not None:
+                    row["aggs"][ai]["outliers"].append(int(v))
 
         if p.distincts:
             self._absorb_distinct(out, nkeys)
