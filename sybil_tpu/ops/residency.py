@@ -1,0 +1,74 @@
+"""HBM-resident column cache.
+
+The reference re-reads and re-decodes every block from disk per query
+(table_query.go:133); its only reuse is the OS page cache and a per-block
+result cache.  On TPU the equivalent working set belongs in HBM: decoded
+column lanes are uploaded once per (block, column) and pinned until LRU
+eviction, so repeated scans touch no host->device transfer at all.  This
+matters doubly under the axon tunnel, where host->device bandwidth is
+orders of magnitude below HBM bandwidth.
+
+Cache keys include the column file's mtime: blocks are immutable and
+republished by rename (column_store_io.go:472-486 equivalent), so an
+mtime change invalidates naturally.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+MAX_BYTES = 8 << 30  # leave headroom in 16G HBM
+
+
+class DeviceColumnCache:
+    def __init__(self, max_bytes: int = MAX_BYTES):
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self._lru: OrderedDict[tuple, tuple] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _evict(self):
+        while self.bytes > self.max_bytes and self._lru:
+            _, (arrs, nbytes) = self._lru.popitem(last=False)
+            self.bytes -= nbytes
+
+    def get(self, key):
+        ent = self._lru.get(key)
+        if ent is None:
+            self.misses += 1
+            return None
+        self._lru.move_to_end(key)
+        self.hits += 1
+        return ent[0]
+
+    def put(self, key, arrays):
+        import jax
+        nbytes = sum(a.nbytes for a in jax.tree.leaves(arrays))
+        if key in self._lru:
+            self.bytes -= self._lru[key][1]
+        self._lru[key] = (arrays, nbytes)
+        self.bytes += nbytes
+        self._evict()
+
+    def clear(self):
+        self._lru.clear()
+        self.bytes = 0
+
+
+CACHE = DeviceColumnCache()
+
+
+def block_col_key(bdir: str, col_file: str, col: str, C: int) -> tuple:
+    path = os.path.join(bdir, col_file)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        try:
+            mtime = os.stat(path + ".gz").st_mtime_ns
+        except FileNotFoundError:
+            mtime = -1
+    return (bdir, col, C, mtime)

@@ -67,6 +67,20 @@ class ScanConfig:
     max_hist_groups: int = 4096
     track_outliers: bool = False
     want_matched_mask: bool = False
+    # packed-download shaping (host<->device sync is the expensive
+    # resource: one buffer, no scalar reads)
+    prefix_rows: int = 8192      # group rows downloaded eagerly
+    hist_prefix: int = 128       # hist group rows downloaded eagerly
+    max_out: int = 1024          # compacted outlier rows per agg
+    max_pairs: int = 16384       # compacted distinct pairs
+
+    @property
+    def n_key_cols(self) -> int:
+        return max(len(self.group_cols) + (1 if self.time_col else 0), 1)
+
+    @property
+    def n_all_keys(self) -> int:
+        return self.n_key_cols + len(self.distinct_cols)
 
 
 def _trunc_div(x, d):
@@ -143,12 +157,12 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         gvals, gvalid = cols[g]
         keys.append(jnp.where(flat(gvalid), flat(gvals), MISSING))
 
+    if not keys:
+        keys = [jnp.zeros((R,), jnp.int64)]  # single global group
+
     for d in config.distinct_cols:
         dvals, dvalid = cols[d]
         keys.append(jnp.where(flat(dvalid), flat(dvals), MISSING))
-
-    if not keys:
-        keys = [jnp.zeros((R,), jnp.int64)]  # single global group
 
     keys = [jnp.where(matched, k, SENTINEL) for k in keys]
 
@@ -278,3 +292,100 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
 
 
 scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
+
+
+# ---------------------------------------------------------------------------
+# packed downloads
+#
+# The host<->device link (especially the tunneled axon transport) charges
+# ~tens of ms per sync and is catastrophically slow on 0-d reads, so the
+# engine downloads exactly ONE small int64 buffer per batch: a meta row,
+# a prefix of the group table, compacted (top_k) outlier rows, and
+# compacted distinct-pair rows.  Full-size arrays stay on device and are
+# only pulled when the meta row says the prefix overflowed.
+# ---------------------------------------------------------------------------
+
+def main_width(config: ScanConfig) -> int:
+    K, A, D = config.n_key_cols, len(config.aggs), len(config.distinct_cols)
+    return max(K + 2 + 5 * A, K + D + 1, 4 + A)
+
+
+def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
+    K = config.n_key_cols
+    A = len(config.aggs)
+    D = len(config.distinct_cols)
+    S = config.max_groups
+    P = min(config.prefix_rows, S)
+    W = main_width(config)
+
+    def pad_to(arr2d, width):
+        pad = width - arr2d.shape[1]
+        if pad <= 0:
+            return arr2d
+        return jnp.pad(arr2d, ((0, 0), (0, pad)))
+
+    table_cols = [out["keys"][:, k] for k in range(K)]
+    table_cols += [out["count"], out["samples"]]
+    for ai in range(A):
+        table_cols += [out[f"agg{ai}_exists"].astype(jnp.int64),
+                       out[f"agg{ai}_count"], out[f"agg{ai}_wv"],
+                       out[f"agg{ai}_min"], out[f"agg{ai}_max"]]
+    table = jnp.stack(table_cols, axis=1)  # [S, K+2+5A]
+
+    meta = [out["num_groups"].astype(jnp.int64)]
+    sections = [pad_to(table[:P], W)]
+
+    hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
+    if config.track_outliers and hist_ais:
+        kmax = min(config.max_out, R)
+        for ai in hist_ais:
+            mask = out[f"agg{ai}_out_mask"]
+            _, idx = jax.lax.top_k(mask.astype(jnp.int32), kmax)
+            block = jnp.concatenate(
+                [out["sorted_gkeys"][idx],
+                 out[f"agg{ai}_out_val"][idx][:, None],
+                 mask[idx][:, None].astype(jnp.int64)], axis=1)
+            sections.append(pad_to(block, W))
+            meta.append(out[f"agg{ai}_nout"].astype(jnp.int64))
+    else:
+        for _ in hist_ais:
+            meta.append(jnp.zeros((), jnp.int64))
+
+    if D:
+        kmax = min(config.max_pairs, R)
+        pmask = out["pair_mask"]
+        _, idx = jax.lax.top_k(pmask.astype(jnp.int32), kmax)
+        block = jnp.concatenate(
+            [out["sorted_keys"][idx],
+             pmask[idx][:, None].astype(jnp.int64)], axis=1)
+        sections.append(pad_to(block, W))
+        meta.append(jnp.sum(pmask.astype(jnp.int64)))
+    else:
+        meta.append(jnp.zeros((), jnp.int64))
+
+    meta_row = jnp.zeros((1, W), jnp.int64)
+    for i, m in enumerate(meta):
+        meta_row = meta_row.at[0, i].set(m)
+
+    packed = {"main": jnp.concatenate([meta_row] + sections, axis=0),
+              "table": table}
+    if hist_ais:
+        Ph = min(config.hist_prefix, config.max_hist_groups)
+        packed["hists"] = jnp.stack(
+            [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais])
+    return packed
+
+
+def scan_packed(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+                time_bucket, set_aux):
+    """-> (packed small buffers, raw device outputs for escalation)."""
+    out = scan_core(config, cols, nrec, filter_vals, bitsets, time_bucket,
+                    set_aux)
+    some = next(iter(cols.values()))[0]
+    R = some.shape[0] * some.shape[1]
+    return pack_outputs(config, out, R), out
+
+
+scan_packed_jit = partial(jax.jit, static_argnums=(0,))(scan_packed)
+
+pack_jit = partial(jax.jit, static_argnums=(0, 2))(pack_outputs)

@@ -215,14 +215,45 @@ def _pad_pow2(n: int, floor: int = 128) -> int:
 
 
 class BatchLoader:
-    """Assembles [B, C] device-ready arrays for a batch of blocks."""
+    """Assembles [B, C] device arrays for a batch of blocks, reusing the
+    HBM-resident column cache: each (block, column) lane uploads once and
+    later scans only stack resident arrays (ops/residency.py)."""
 
     def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int):
         self.bound = bound
         self.block_dirs = block_dirs
         self.C = C
 
+    def _resident_col(self, bdir: str, name: str, typ: int):
+        """-> (values[C], valid[C]) device arrays for one block column."""
+        import jax.numpy as jnp
+
+        from ..ops.residency import CACHE, block_col_key
+
+        C = self.C
+        key = block_col_key(bdir, blockio.column_file(typ, name), name, C)
+        ent = CACHE.get(key)
+        if ent is not None:
+            return ent
+        data = blockio.load_block_columns(bdir, self.bound.table.schema,
+                                          [name]).get(name)
+        values = np.zeros(C, dtype=np.int64)
+        valid = np.zeros(C, dtype=bool)
+        if isinstance(data, blockio.IntColumnData):
+            n = min(len(data.values), C)
+            values[:n] = data.values[:n]
+            valid[:n] = data.valid[:n]
+        elif isinstance(data, blockio.StrColumnData):
+            n = min(len(data.ids), C)
+            values[:n] = data.ids[:n]
+            valid[:n] = data.valid[:n]
+        ent = (jnp.asarray(values), jnp.asarray(valid))
+        CACHE.put(key, ent)
+        return ent
+
     def load(self):
+        import jax.numpy as jnp
+
         bound = self.bound
         B = len(self.block_dirs)
         C = self.C
@@ -230,40 +261,50 @@ class BatchLoader:
         schema = bound.table.schema
         nrec = np.zeros(B, dtype=np.int32)
         cols = {}
-        set_cols = {}
-        if not any(bound.col_types.get(n) != SET_VAL for n in bound.needed_cols):
-            # bare count(*) query: synthesize one lane so the kernel has a
-            # shape to scan; row_in_range does the counting
-            cols["__count__"] = (np.zeros((B, C), dtype=np.int64),
-                                 np.ones((B, C), dtype=bool))
+        set_cols: dict[str, list] = {}
+
+        dense_names = [n for n in bound.needed_cols
+                       if bound.col_types[n] != SET_VAL]
         for name in bound.needed_cols:
-            typ = bound.col_types[name]
-            if typ == SET_VAL:
+            if bound.col_types[name] == SET_VAL:
                 set_cols[name] = []
-            else:
-                cols[name] = (np.zeros((B, C), dtype=np.int64),
-                              np.zeros((B, C), dtype=bool))
 
         for bi, bdir in enumerate(self.block_dirs):
             info = blockio.load_block_info(bdir)
-            if info is None:
-                continue
-            n = min(info.num_records, C)
+            n = min(info.num_records, C) if info else 0
             nrec[bi] = n
-            data = blockio.load_block_columns(bdir, schema, bound.needed_cols)
-            for name, cd in data.items():
-                if isinstance(cd, blockio.SetColumnData):
+            if set_cols and n:
+                data = blockio.load_block_columns(bdir, schema,
+                                                  list(set_cols))
+                for name, cd in data.items():
                     rows = np.repeat(np.arange(len(cd.offsets) - 1),
                                      np.diff(cd.offsets))
                     set_cols[name].append((rows + bi * C, cd.values))
-                else:
-                    values, valid = cols[name]
-                    if isinstance(cd, blockio.IntColumnData):
-                        values[bi, :len(cd.values)] = cd.values
-                        valid[bi, :len(cd.valid)] = cd.valid
-                    else:
-                        values[bi, :len(cd.ids)] = cd.ids
-                        valid[bi, :len(cd.valid)] = cd.valid
+
+        from ..ops.residency import CACHE, block_col_key
+        for name in dense_names:
+            typ = bound.col_types[name]
+            block_keys = tuple(
+                block_col_key(bdir, blockio.column_file(typ, name), name, C)
+                for bdir in self.block_dirs)
+            batch_key = ("batch", name, block_keys)
+            ent = CACHE.get(batch_key)
+            if ent is None:
+                # stacking resident lanes is itself expensive on a
+                # high-latency transport, so the stacked batch is cached too
+                lanes = [self._resident_col(bdir, name, typ)
+                         for bdir in self.block_dirs]
+                ent = (jnp.stack([e[0] for e in lanes]),
+                       jnp.stack([e[1] for e in lanes]))
+                import jax
+                jax.block_until_ready(ent)
+                CACHE.put(batch_key, ent)
+            cols[name] = ent
+        if not cols:
+            # bare count(*) query: synthesize one lane so the kernel has a
+            # shape to scan; row_in_range does the counting
+            cols["__count__"] = (jnp.zeros((B, C), dtype=jnp.int64),
+                                 jnp.ones((B, C), dtype=bool))
 
         set_aux = {}
         for name, chunks in set_cols.items():
@@ -329,15 +370,20 @@ def run_query(table: Table, params: QueryParams,
         jfv = jnp.asarray(bound.filter_vals)
         jbits = tuple(jnp.asarray(b) for b in bound.bitsets)
         jtb = jnp.asarray(params.time_bucket or 1, dtype=jnp.int64)
+        R = B * C
         if mesh is not None:
+            from ..ops.scan import pack_jit
             from ..parallel.mesh import sharded_scan
             out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv, jbits,
                                jtb)
+            packed = pack_jit(bound.config, out, R)
         else:
-            out = scan_batch(bound.config, jcols, jnrec, jfv, jbits, jtb,
-                             {k: (jnp.asarray(r), jnp.asarray(v))
-                              for k, (r, v) in set_aux.items()})
-        acc.absorb(out)
+            from ..ops.scan import scan_packed_jit
+            packed, out = scan_packed_jit(
+                bound.config, jcols, jnrec, jfv, jbits, jtb,
+                {k: (jnp.asarray(r), jnp.asarray(v))
+                 for k, (r, v) in set_aux.items()})
+        acc.absorb_packed(packed, out, R)
         if params.samples and len(acc.sample_rows) < max(params.limit, 1) * 4:
             acc.collect_samples(out, batch_dirs, nrec, C)
 
@@ -355,41 +401,76 @@ class _Accumulator:
         self.matched_count = 0
         self.sample_rows: list[dict] = []
 
-    def absorb(self, out) -> None:
+    def absorb_packed(self, packed, out, R: int) -> None:
+        """Parse the single packed download (ops/scan.py pack_outputs):
+        row 0 meta [num_groups, nout per hist agg..., npairs]; then the
+        group-table prefix; then per-hist-agg compacted outlier rows; then
+        compacted distinct-pair rows.  Full device arrays in `out` are
+        touched only when the meta row reports prefix overflow."""
         from ..ops.scan import SENTINEL
+        config = self.bound.config
         p = self.params
-        num_groups = int(out["num_groups"])
-        S = self.bound.config.max_groups
+        main = np.asarray(packed["main"])  # the one download
+        K = config.n_key_cols
+        A = len(p.aggs)
+        S = config.max_groups
+        P = min(config.prefix_rows, S)
+
+        hist_ais = [ai for ai, a in enumerate(config.aggs)
+                    if a.num_values > 0]
+        meta = main[0]
+        num_groups = int(meta[0])
+        nouts = {ai: int(meta[1 + i]) for i, ai in enumerate(hist_ais)}
+        npairs = int(meta[1 + len(hist_ais)])
+
         if num_groups > S:
             warn("group cap", S, "exceeded; highest-keyed groups dropped")
         n = min(num_groups, S)
 
-        keys = np.asarray(out["keys"][:n])
-        counts = np.asarray(out["count"][:n])
-        samples = np.asarray(out["samples"][:n])
+        if n > P:
+            table = np.asarray(packed["table"][:n])  # escalation
+        else:
+            table = main[1: 1 + n]
+        keys = table[:, :K]
+        counts = table[:, K]
+        samples = table[:, K + 1]
         self.matched_count += int(samples.sum())
 
+        hists_small = np.asarray(packed["hists"]) if hist_ais else None
+        Ph = min(config.hist_prefix, config.max_hist_groups)
+
         aggdata = []
-        nkeys = keys.shape[1]
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
+            base = K + 2 + 5 * ai
             d = {
-                "exists": np.asarray(out[f"agg{ai}_exists"][:n]),
-                "count": np.asarray(out[f"agg{ai}_count"][:n]),
-                "wv": np.asarray(out[f"agg{ai}_wv"][:n]),
-                "min": np.asarray(out[f"agg{ai}_min"][:n]),
-                "max": np.asarray(out[f"agg{ai}_max"][:n]),
+                "exists": table[:, base] != 0,
+                "count": table[:, base + 1],
+                "wv": table[:, base + 2],
+                "min": table[:, base + 3],
+                "max": table[:, base + 4],
             }
-            if f"agg{ai}_hist" in out:
-                Sh = self.bound.config.max_hist_groups
+            if ai in nouts:  # hist agg
+                Sh = config.max_hist_groups
                 if num_groups > Sh:
                     error("histogram group cap", Sh, "exceeded",
                           f"({num_groups} groups); raise flags.max_hist_groups")
-                d["hist"] = np.asarray(out[f"agg{ai}_hist"][:n])
-                if int(out.get(f"agg{ai}_nout", 0)) > 0:
-                    mask = np.asarray(out[f"agg{ai}_out_mask"])
-                    d["outlier_pairs"] = (
-                        np.asarray(out["sorted_gkeys"])[mask],
-                        np.asarray(out[f"agg{ai}_out_val"])[mask])
+                if n > Ph:
+                    d["hist"] = np.asarray(out[f"agg{ai}_hist"][:n])
+                else:
+                    d["hist"] = hists_small[hist_ais.index(ai)][:n]
+                if nouts[ai] > 0:
+                    kmax = min(config.max_out, R)
+                    off = 1 + P + hist_ais.index(ai) * kmax
+                    block = main[off: off + kmax]
+                    if nouts[ai] > kmax:  # escalate to full arrays
+                        mask = np.asarray(out[f"agg{ai}_out_mask"])
+                        d["outlier_pairs"] = (
+                            np.asarray(out["sorted_gkeys"])[mask],
+                            np.asarray(out[f"agg{ai}_out_val"])[mask])
+                    else:
+                        flags_col = block[:, K + 1] != 0
+                        d["outlier_pairs"] = (block[flags_col, :K],
+                                              block[flags_col, K])
             aggdata.append(d)
 
         for gi in range(n):
@@ -432,15 +513,22 @@ class _Accumulator:
                 if row is not None and row["aggs"][ai] is not None:
                     row["aggs"][ai]["outliers"].append(int(v))
 
-        if p.distincts:
-            self._absorb_distinct(out, nkeys)
+        if p.distincts and npairs > 0:
+            kmax = min(config.max_pairs, R)
+            pairs_off = 1 + P + (len(hist_ais) * min(config.max_out, R)
+                                 if (config.track_outliers and hist_ais)
+                                 else 0)
+            if npairs > kmax:  # escalate
+                mask = np.asarray(out["pair_mask"])
+                skeys = np.asarray(out["sorted_keys"])[mask]
+            else:
+                block = main[pairs_off: pairs_off + kmax]
+                nkall = config.n_all_keys
+                skeys = block[block[:, nkall] != 0, :nkall]
+            self._absorb_distinct(skeys, K)
 
-    def _absorb_distinct(self, out, nkeys: int) -> None:
+    def _absorb_distinct(self, skeys: np.ndarray, nkeys: int) -> None:
         from ..ops.scan import SENTINEL
-        mask = np.asarray(out["pair_mask"])
-        if not mask.any():
-            return
-        skeys = np.asarray(out["sorted_keys"])[mask]
         ng = nkeys
         p = self.params
         int_only = all(self.bound.col_types[d] == INT_VAL for d in p.distincts)
