@@ -342,6 +342,15 @@ def run_query(table: Table, params: QueryParams,
     if skipped:
         debug("skipped", skipped, "blocks via min/max pruning")
 
+    cache_k = None
+    if flags.cache_queries and not params.samples and not flags.read_log:
+        from . import cache as qcache
+        cache_k = qcache.cache_key(params, table, block_dirs, infos)
+        cached = qcache.load_cached_results(table, cache_k)
+        if cached is not None:
+            sort_results(cached, params)
+            return cached
+
     maxrec = max((infos[d].num_records for d in block_dirs), default=0)
     C = CHUNK_SIZE if maxrec > 8192 else _pad_pow2(max(maxrec, 1))
     B = max(1, min(flags.device_batch, max(len(block_dirs), 1)))
@@ -387,7 +396,79 @@ def run_query(table: Table, params: QueryParams,
         if params.samples and len(acc.sample_rows) < max(params.limit, 1) * 4:
             acc.collect_samples(out, batch_dirs, nrec, C)
 
-    return acc.finish()
+    if flags.read_log:
+        _scan_rowstore(acc, bound, table, params, flags)
+
+    qr = acc.finish()
+    if cache_k is not None:
+        from . import cache as qcache
+        qcache.save_cached_results(table, cache_k, qr, params)
+    return qr
+
+
+def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
+                   params: QueryParams, flags: Flags) -> None:
+    """-read-log: scan undigested WAL records too (table_query.go:318-341).
+    Rows pivot into an in-memory columnar pseudo-block that goes through
+    the same device kernel."""
+    import jax.numpy as jnp
+
+    from .. import rowstore
+    from ..digest import rows_to_columns
+    from ..ops.scan import scan_packed_jit
+
+    rows = []
+    for log in rowstore.list_logs(table.dir):
+        try:
+            rows.extend(rowstore.read_log(log))
+        except (OSError, ValueError):
+            pass
+    if not rows:
+        return
+    data = rows_to_columns(rows, table)
+    n = len(rows)
+    C = _pad_pow2(min(n, CHUNK_SIZE))
+    nblocks = (n + C - 1) // C
+    for b in range(nblocks):
+        lo, hi = b * C, min((b + 1) * C, n)
+        cols = {}
+        set_aux = {}
+        for name in bound.needed_cols:
+            typ = bound.col_types[name]
+            cd = data.get(name)
+            values = np.zeros((1, C), dtype=np.int64)
+            valid = np.zeros((1, C), dtype=bool)
+            if typ == SET_VAL:
+                if isinstance(cd, blockio.SetColumnData):
+                    offs = cd.offsets[lo: hi + 1] - cd.offsets[lo]
+                    vals = cd.values[cd.offsets[lo]: cd.offsets[hi]]
+                    rws = np.repeat(np.arange(hi - lo), np.diff(offs))
+                else:
+                    rws = np.zeros(0, dtype=np.int64)
+                    vals = np.zeros(0, dtype=np.int64)
+                m = _pad_pow2(max(len(rws), 1))
+                prow = np.full(m, C, dtype=np.int32)
+                pval = np.full(m, -2, dtype=np.int64)
+                prow[:len(rws)] = rws
+                pval[:len(vals)] = vals
+                set_aux[name] = (jnp.asarray(prow), jnp.asarray(pval))
+                continue
+            if isinstance(cd, blockio.IntColumnData):
+                values[0, : hi - lo] = cd.values[lo:hi]
+                valid[0, : hi - lo] = cd.valid[lo:hi]
+            elif isinstance(cd, blockio.StrColumnData):
+                values[0, : hi - lo] = cd.ids[lo:hi]
+                valid[0, : hi - lo] = cd.valid[lo:hi]
+            cols[name] = (jnp.asarray(values), jnp.asarray(valid))
+        if not cols:
+            cols["__count__"] = (jnp.zeros((1, C), jnp.int64),
+                                 jnp.ones((1, C), bool))
+        nrec = jnp.asarray(np.array([hi - lo], dtype=np.int32))
+        packed, out = scan_packed_jit(
+            bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
+            tuple(jnp.asarray(x) for x in bound.bitsets),
+            jnp.asarray(params.time_bucket or 1, dtype=jnp.int64), set_aux)
+        acc.absorb_packed(packed, out, C)
 
 
 class _Accumulator:
@@ -681,16 +762,21 @@ class _Accumulator:
         return res
 
     def _sort(self, qr: QueryResults) -> None:
-        p = self.params
-        if not p.order_by:
-            return
+        sort_results(qr, self.params)
 
-        def sort_key(r: Result):
-            if p.order_by == SORT_COUNT:
-                return r.count
-            h = r.hists.get(p.order_by)
-            return h.mean() if h else 0.0
 
-        qr.sorted = sorted(qr.results.values(), key=sort_key, reverse=True)
-        if p.order_asc:
-            qr.sorted.reverse()
+def sort_results(qr: QueryResults, params: QueryParams) -> None:
+    """SortResults port (aggregate.go:497-525): by Count or hist mean,
+    descending by default."""
+    if not params.order_by:
+        return
+
+    def sort_key(r: Result):
+        if params.order_by == SORT_COUNT:
+            return r.count
+        h = r.hists.get(params.order_by)
+        return h.mean() if h else 0.0
+
+    qr.sorted = sorted(qr.results.values(), key=sort_key, reverse=True)
+    if params.order_asc:
+        qr.sorted.reverse()
