@@ -126,6 +126,11 @@ def _query_parser():
     p.add_argument("-read-log", "--read-log", action="store_true")
     p.add_argument("-cache-queries", "--cache-queries", action="store_true")
     p.add_argument("-device-batch", "--device-batch", type=int, default=16)
+    # multi-value flag separators, overridable so values may contain
+    # commas/colons (the Go client API passes ASCII 30/31,
+    # api/cmd_query.go:15-16,163-164)
+    p.add_argument("-field-separator", "--field-separator", default=",")
+    p.add_argument("-filter-separator", "--filter-separator", default=":")
     return p
 
 
@@ -164,6 +169,8 @@ def _flags_from_query_args(args) -> Flags:
     flags.read_log = args.read_log
     flags.cache_queries = args.cache_queries
     flags.device_batch = args.device_batch
+    flags.field_separator = args.field_separator
+    flags.filter_separator = args.filter_separator
     return flags
 
 

@@ -169,6 +169,32 @@ class BoundQuery:
             cols.add(params.weight_col)
         self.needed_cols = sorted(cols)
 
+    def refresh_str_filters(self) -> None:
+        """Re-resolve str/set filter literals and regex bitsets against the
+        current dictionaries.  The -read-log path ingests rowstore strings
+        into the in-memory dicts *after* bind time (rows_to_columns), so a
+        literal that only exists in undigested WAL rows resolves to -1
+        unless refreshed."""
+        filter_vals = []
+        bitsets = []
+        self.display_strings.clear()
+        for f in self.params.filters:
+            if f.kind == "int":
+                filter_vals.append(int(f.value))
+            elif f.op in ("re", "nre"):
+                strings = self._strings(f.col)
+                rx = re.compile(f.value)
+                bits = np.fromiter((rx.search(s) is not None for s in strings),
+                                   dtype=bool, count=len(strings))
+                if len(bits) == 0:
+                    bits = np.zeros(1, dtype=bool)
+                bitsets.append(bits)
+                filter_vals.append(0)
+            else:
+                filter_vals.append(self.table.dicts.get(f.col).lookup(f.value))
+        self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
+        self.bitsets = tuple(bitsets)
+
     def _strings(self, col: str) -> list[str]:
         """Global dict strings with -str-replace applied (the reference
         rewrites strings at decode, column_store_io.go:517-546, so both
@@ -426,6 +452,7 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
     if not rows:
         return
     data = rows_to_columns(rows, table)
+    bound.refresh_str_filters()  # WAL-only strings got dict ids just now
     n = len(rows)
     C = _pad_pow2(min(n, CHUNK_SIZE))
     nblocks = (n + C - 1) // C

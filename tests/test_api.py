@@ -1,0 +1,104 @@
+"""Client-API e2e tests, modeled on the reference's src/api/api_test.go
+(ingest -> flush -> digest -> query through the public builder)."""
+
+import pytest
+
+from sybil_tpu.api import SybilConfig, SybilRecord, SybilTable
+
+
+@pytest.fixture
+def api_table(tmp_path):
+    cfg = SybilConfig(dir=str(tmp_path / "db"), table="people")
+    t = SybilTable(cfg)
+    recs = []
+    for i in range(300):
+        recs.append({"age": 20 + (i % 50), "state": ["CA", "NY", "TX"][i % 3],
+                     "weight": 1 + (i % 3), "time": 1_700_000_000 + i})
+    t.add_records(recs)
+    t.flush_records()
+    return t
+
+
+def test_query_before_digest_empty_without_readlog(api_table):
+    # rowstore-only data is invisible unless -read-log (api_test.go:258)
+    rows = (api_table.query().read_row_log(False)
+            .group_by("state").execute())
+    assert rows == []
+
+
+def test_readlog_query_sees_rowstore(api_table):
+    rows = api_table.query().group_by("state").aggregate("age").execute()
+    assert len(rows) == 3
+    total = sum(r["Count"] for r in rows)
+    assert total == 300
+    for r in rows:
+        assert 20 <= r["age"] <= 70
+
+
+def test_digest_then_query(api_table):
+    api_table.digest()
+    rows = (api_table.query().read_row_log(False)
+            .group_by("state").execute())
+    assert sum(r["Count"] for r in rows) == 300
+
+
+def test_filters_and_getters(api_table):
+    rows = (api_table.query().group_by("state")
+            .int_filter_gt("age", 44).int_filter_lt("age", 47)
+            .execute())
+    # ages 45,46 -> 6 rows per age cycle of 50 -> 12 total
+    assert sum(r["Count"] for r in rows) == 12
+    state, ok = rows[0].str("state")
+    assert ok and state in ("CA", "NY", "TX")
+    count, ok = rows[0].int("Count")
+    assert ok and count > 0
+
+
+def test_str_filter_and_record_builder(tmp_path):
+    cfg = SybilConfig(dir=str(tmp_path / "db"), table="t2")
+    t = SybilTable(cfg)
+    t.add_records([SybilRecord().add_int("v", i).add_str("k", f"key{i % 4}")
+                   .add_set("tags", [f"t{i % 2}"]) for i in range(40)])
+    t.flush_records()
+    rows = t.query().str_filter_eq("k", "key1").execute()
+    assert rows[0]["Count"] == 10
+    rows = t.query().str_filter_regex("k", "key[23]").execute()
+    assert rows[0]["Count"] == 20
+    rows = t.query().set_filter_in("tags", "t0").execute()
+    assert rows[0]["Count"] == 20
+
+
+def test_time_series_shape(api_table):
+    out = (api_table.query().time_series("time", 100)
+           .group_by("state").execute())
+    assert isinstance(out, dict) and len(out) >= 2
+    total = sum(r["Count"] for rows in out.values() for r in rows)
+    assert total == 300
+
+
+def test_hist_percentiles(api_table):
+    rows = (api_table.query().group_by("state").aggregate("age")
+            .hist().execute())
+    for r in rows:
+        pct = r["age"]["percentiles"]
+        assert len(pct) == 100
+        assert 20 <= pct[50] <= 70
+
+
+def test_table_info_and_list(api_table):
+    api_table.digest()
+    info = api_table.table_info()
+    assert info["count"] == 300
+    assert "state" in info["columns"]["strs"]
+    assert "age" in info["columns"]["ints"]
+    assert "people" in api_table.list_tables()
+
+
+def test_subprocess_mode(tmp_path):
+    cfg = SybilConfig(dir=str(tmp_path / "db"), table="sub")
+    t = SybilTable(cfg, subprocess_mode=True)
+    t.add_records([{"v": i % 5, "who": f"u{i % 2}"} for i in range(20)])
+    t.flush_records()
+    rows = t.query().group_by("who").aggregate("v").execute()
+    assert sum(r["Count"] for r in rows) == 20
+    assert sorted(r["who"] for r in rows) == ["u0", "u1"]
