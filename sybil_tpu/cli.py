@@ -352,7 +352,12 @@ def main(argv=None):
         print("usage: sybil_tpu <%s>" % "|".join(sorted(COMMANDS)),
               file=sys.stderr)
         return 1
-    return COMMANDS[argv[0]](argv[1:]) or 0
+    try:
+        return COMMANDS[argv[0]](argv[1:]) or 0
+    except dbg.SybilError:
+        # already logged by dbg.error; die with a clean one-line fatal
+        # like the reference's Error = log.Fatalln (debug.go:26-27)
+        return 1
 
 
 if __name__ == "__main__":
