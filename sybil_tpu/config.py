@@ -77,6 +77,7 @@ class Flags:
     max_hist_groups: int = 4096      # group cap when every group carries buckets
     platform: str = ""               # force jax platform ("cpu" for tests)
     data_shards: int = 0             # >1: shard the scan over a device mesh
+    force_sorted: bool = False       # disable the dense MXU group-by path
 
     def encode(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

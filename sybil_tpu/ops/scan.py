@@ -3,23 +3,43 @@ column blocks in one jitted XLA computation.
 
 This replaces the reference's per-record interpreted hot loop
 (FilterAndAggRecords, src/lib/aggregate.go:56-282) with a vectorized
-pipeline over [B, CHUNK] columnar arrays:
+pipeline over [B, CHUNK] columnar arrays.  Two strategies, chosen
+statically at bind time:
+
+dense   when every group key column has a known bounded cardinality
+        (string columns: global dictionary size; int/time columns: the
+        table-level IntInfo min/max range) and the product of
+        cardinalities is small.  Group ids are computed arithmetically
+        (mixed-radix digits, digit 0 = the reference's MISSING_VALUE)
+        and the aggregation becomes ONE-HOT x LANES int8 matmuls on the
+        MXU: each int64 lane is decomposed into 16 exact 4-bit nibbles,
+        one-hot[rows, G] @ nibbles[rows, L*16] accumulates in int32 and
+        recombines mod 2^64 — bit-exact int64 segment sums at MXU speed,
+        no sort, no scatter, no gather.  Because IntInfo min/max are
+        outlier-resistant (table_column_info.go:75-117) an int key can
+        fall outside its declared range; such rows raise a `spill`
+        counter in the meta row and the engine re-runs the query on the
+        sorted strategy.
+
+sorted  the general fallback: one multi-key sort over the flattened
+        batch (cheap on TPU), segment boundaries give group ids, and all
+        sums go through a single stacked nibble-int32 scatter-add (exact
+        mod 2^64) instead of per-lane int64 scatters.
 
   1. predicate masks (vectorized compares; regexes arrive as precomputed
      dictionary bitsets — the device only gathers, mirroring the RCache
      idea in filter.go:216-231)
   2. group keys as int64 lanes (int value / global str id / -1 missing —
      two's-complement -1 IS the reference's MaxUint64 MISSING_VALUE)
-  3. one multi-key sort over the flattened batch; segment boundaries give
-     group ids (sort-based grouping: deterministic, no dynamic shapes)
+  3. group ids: dense mixed-radix digits, or sort + boundary cumsum
   4. segment reductions for count / Σw / Σw·v / min / max and weighted
      histogram bucket counts (bucket math mirrors hist_basic.go:132-150,
      outliers clamped into the last slot; raw outlier values are exposed
      for the host-side stddev/sparse-bucket fix-up)
 
-Unmatched rows carry sentinel keys that sort last into one dead group.
-Groups beyond the cap are dropped, mirroring INTERNAL_RESULT_LIMIT
-(aggregate.go:15,192).
+Unmatched rows land in a dead slot (dense) or sort last under sentinel
+keys (sorted).  Groups beyond the cap are dropped, mirroring
+INTERNAL_RESULT_LIMIT (aggregate.go:15,192).
 """
 
 from __future__ import annotations
@@ -33,6 +53,17 @@ import numpy as np
 
 SENTINEL = np.iinfo(np.int64).max
 MISSING = -1  # two's-complement of the reference's MaxUint64 MISSING_VALUE
+
+# dense strategy limits: slots after the mixed-radix expansion (+1 dead
+# slot, padded to a lane multiple); bounded by download size (8 KB/lane/
+# 1k slots) and one-hot matmul cost (R x G x L*16 int8 MACs)
+DENSE_SLOT_CAP = 8192
+_LANE = 128                     # MXU/VPU lane width
+NIBBLES = 16                    # 16 x 4-bit limbs = one exact int64
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +98,11 @@ class ScanConfig:
     max_hist_groups: int = 4096
     track_outliers: bool = False
     want_matched_mask: bool = False
+    # dense-strategy metadata, aligned with [time?, *group_cols]:
+    #   key_bounds[i] = (min_value, cardinality); cardinality 0 = unbounded.
+    # For the time key the bound is on the bucket quotient trunc_div(t, tb).
+    key_bounds: tuple[tuple[int, int], ...] = ()
+    force_sorted: bool = False   # spill fallback
     # packed-download shaping (host<->device sync is the expensive
     # resource: one buffer, no scalar reads)
     prefix_rows: int = 8192      # group rows downloaded eagerly
@@ -82,6 +118,40 @@ class ScanConfig:
     def n_all_keys(self) -> int:
         return self.n_key_cols + len(self.distinct_cols)
 
+    @property
+    def dense_slots(self) -> int:
+        """Mixed-radix slot count (+1 per key for MISSING, +1 dead slot),
+        lane-padded; 0 if any key is unbounded or the product too big."""
+        if self.force_sorted or self.distinct_cols:
+            return 0
+        nk = len(self.group_cols) + (1 if self.time_col else 0)
+        if len(self.key_bounds) != nk:
+            return 0
+        g = 1
+        for (_, card) in self.key_bounds:
+            if card <= 0:
+                return 0
+            g *= card + 1           # digit 0 reserved for MISSING
+            if g > DENSE_SLOT_CAP:
+                return 0
+        slots = _round_up(g + 1, _LANE)   # +1 dead slot for unmatched rows
+        if slots > DENSE_SLOT_CAP or g > self.max_groups:
+            return 0
+        return slots
+
+    @property
+    def strategy(self) -> str:
+        return "dense" if self.dense_slots else "sorted"
+
+    @property
+    def table_slots(self) -> int:
+        """Rows in the on-device group table."""
+        return self.dense_slots or self.max_groups
+
+    @property
+    def hist_slots(self) -> int:
+        return self.dense_slots or self.max_hist_groups
+
 
 def _trunc_div(x, d):
     """Go integer division truncates toward zero."""
@@ -89,19 +159,30 @@ def _trunc_div(x, d):
     return jnp.where(x >= 0, q, -q)
 
 
-def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
-              time_bucket, set_aux):
-    """
-    cols:        {name: (values int64[B,C], valid bool[B,C])}
-    nrec:        int32[B] valid records per block
-    filter_vals: int64[F] dynamic filter constants (str filters hold the
-                 global dict id; -1 means "string never ingested")
-    bitsets:     tuple of bool[dict_size_i] regex match bitsets
-    time_bucket: int64 scalar (ignored unless config.time_col)
-    set_aux:     {name: (row_ids int32[M], vals int64[M])} flattened CSR
-                 for set columns, row_ids already offset into [0, R)
-                 (padding rows point at R)
-    """
+def _nibbles(lanes):
+    """int64 [R, L] -> exact 4-bit limbs as int8 [R, L*16] (two's
+    complement: recombining mod 2^64 restores the signed value)."""
+    R, L = lanes.shape
+    u = lanes.astype(jnp.uint64)
+    sh = (jnp.arange(NIBBLES, dtype=jnp.uint64) * 4)
+    nib = (u[:, :, None] >> sh[None, None, :]) & jnp.uint64(0xF)
+    return nib.astype(jnp.int8).reshape(R, L * NIBBLES)
+
+
+def _recombine(acc, L):
+    """int64 nibble sums [S, L*16] -> exact int64 [S, L] mod 2^64."""
+    S = acc.shape[0]
+    u = acc.astype(jnp.uint64).reshape(S, L, NIBBLES)
+    sh = (jnp.arange(NIBBLES, dtype=jnp.uint64) * 4)
+    return jnp.sum(u << sh[None, None, :], axis=-1).astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# shared front end: filters, key lanes, weight, aggregation lanes
+# ---------------------------------------------------------------------------
+
+def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+               time_bucket, set_aux):
     some = next(iter(cols.values()))[0]
     B, C = some.shape
     R = B * C
@@ -113,9 +194,7 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
         < nrec[:, None])
 
-    # ------------------------------------------------------------------
     # filters (all must match; missing column value always fails)
-    # ------------------------------------------------------------------
     matched = row_in_range
     for i, f in enumerate(config.filters):
         fv = filter_vals[i]
@@ -160,31 +239,272 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     if not keys:
         keys = [jnp.zeros((R,), jnp.int64)]  # single global group
 
+    dkeys = []
     for d in config.distinct_cols:
         dvals, dvalid = cols[d]
-        keys.append(jnp.where(flat(dvalid), flat(dvals), MISSING))
+        dkeys.append(jnp.where(flat(dvalid), flat(dvals), MISSING))
 
-    keys = [jnp.where(matched, k, SENTINEL) for k in keys]
-
-    # ------------------------------------------------------------------
     # weight lane (aggregate.go:100-102)
-    # ------------------------------------------------------------------
     if config.weight_col:
         wv, wvalid = cols[config.weight_col]
         weight = jnp.where(flat(wvalid), flat(wv), 1)
     else:
         weight = jnp.ones((R,), jnp.int64)
 
-    # ------------------------------------------------------------------
-    # one sort to rule them all
-    # ------------------------------------------------------------------
-    idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
-    n_group_keys = len(keys) - len(config.distinct_cols)
-    sorted_ops = jax.lax.sort([*keys, idx], num_keys=len(keys))
-    skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
+    return B, C, R, flat, matched, keys, dkeys, weight
 
-    def take(x):
-        return flat(x)[sidx] if x.ndim > 1 else x[sidx]
+
+def _agg_row_data(config: ScanConfig, cols, flat, matched, weight):
+    """Per-agg (value, keep-mask) rows plus the stacked int64 sum lanes
+    [R, L] with L = 2 + 3*A: [count=w, samples=1, (exists, kw, kwv)*A]."""
+    R = matched.shape[0]
+    lanes = [jnp.where(matched, weight, 0),
+             jnp.where(matched, 1, 0).astype(jnp.int64)]
+    per_agg = []
+    for agg in config.aggs:
+        avals, avalid = cols[agg.col]
+        v, populated = flat(avals), flat(avalid)
+        keep = matched & populated & ~((v > agg.discard_max) |
+                                       (v < agg.discard_min))
+        kw = jnp.where(keep, weight, 0)
+        lanes += [jnp.where(matched & populated, 1, 0).astype(jnp.int64),
+                  kw, kw * v]
+        per_agg.append((v, keep))
+    return jnp.stack(lanes, axis=1), per_agg
+
+
+def _hist_bucket(agg: AggSpec, v):
+    """-> (bucket id int32 [R], in-any-range bool, is-outlier bool, nv)."""
+    if agg.sub_edges:
+        # multihist: first matching sub-range, top range first
+        # (hist_multi.go:81-87); a value overflowing its sub's bucket
+        # array is a sub-outlier (folded into the sub's last slot AND
+        # recorded raw, hist_basic.go:133-137)
+        bv = jnp.zeros(v.shape, jnp.int32)
+        assigned = jnp.zeros(v.shape, bool)
+        is_out = jnp.zeros(v.shape, bool)
+        for (smin, smax, sbs, snv, soff) in agg.sub_edges:
+            inrange = (v >= smin) & (v <= smax) & ~assigned
+            raw_bv = _trunc_div(v - smin, sbs)
+            is_out = is_out | (inrange & (raw_bv >= snv))
+            sub_bv = jnp.clip(raw_bv, 0, snv - 1)
+            bv = jnp.where(inrange, sub_bv.astype(jnp.int32) + soff, bv)
+            assigned = assigned | inrange
+        return bv, assigned, is_out, agg.num_values
+    nv = agg.num_values
+    raw_bv = _trunc_div(v - agg.hist_min, agg.bucket_size)
+    is_out = raw_bv >= nv
+    bv = jnp.clip(raw_bv, 0, nv - 1).astype(jnp.int32)
+    return bv, jnp.ones(v.shape, bool), is_out, nv
+
+
+def _hist_scatter(gid, hcontrib, weight, bv, nv, Sh, weighted=True):
+    """Weighted histogram counts [Sh, nv] via one exact stacked scatter."""
+    flat_id = jnp.where(hcontrib, gid * nv + bv, Sh * nv)
+    if not weighted:
+        # unweighted counts fit int32 exactly (one lane, 16x less traffic)
+        acc = jnp.zeros((Sh * nv + 1,), jnp.int32).at[flat_id].add(
+            jnp.int32(1))
+        return acc[:Sh * nv].astype(jnp.int64).reshape(Sh, nv)
+    wl = _nibbles(jnp.where(hcontrib, weight, 0)[:, None])   # [R, 16]
+    acc = jnp.zeros((Sh * nv + 1, NIBBLES), jnp.int32).at[flat_id].add(
+        wl.astype(jnp.int32))
+    return _recombine(acc[:Sh * nv].astype(jnp.int64), 1).reshape(Sh, nv)
+
+
+def _outlier_outputs(out, config, ai, hcontrib, is_out, v, key_rows):
+    """Expose compactable outlier rows keyed by group-key tuple (never
+    local gid) so the host fix-up also works on sharded partials."""
+    out_rows = hcontrib & is_out
+    out[f"agg{ai}_nout"] = jnp.sum(out_rows.astype(jnp.int64))
+    out[f"agg{ai}_out_mask"] = out_rows
+    out[f"agg{ai}_out_val"] = jnp.where(out_rows, v, 0)
+    out["sorted_gkeys"] = key_rows
+
+
+# ---------------------------------------------------------------------------
+# dense strategy: mixed-radix gid + one-hot int8 MXU matmul
+# ---------------------------------------------------------------------------
+
+def _dense_gid(config: ScanConfig, keys, matched, time_bucket):
+    """-> (gid int32 [R] in [0, slots), spill count, decode fn).
+
+    Digits: digit_i = clamp(key_i - min_i, 0, card_i-1) + 1, 0 for
+    MISSING; unmatched rows get the dead slot (slots-1).  Rows whose key
+    falls outside the declared bound spill (IntInfo min/max are
+    outlier-resistant so this CAN happen for int keys)."""
+    slots = config.dense_slots
+    R = keys[0].shape[0]
+    gid = jnp.zeros((R,), jnp.int64)
+    spilled = jnp.zeros((R,), bool)
+    has_time = bool(config.time_col)
+    if not config.key_bounds:      # no group cols: one global group
+        gid = jnp.where(matched, 0, slots - 1).astype(jnp.int32)
+        return gid, jnp.zeros((), jnp.int64)
+    for i, k in enumerate(keys):
+        mn, card = config.key_bounds[i]
+        if has_time and i == 0:
+            # the time key lane is trunc_div(t,tb)*tb; bound is on the
+            # quotient (matched rows always have time populated)
+            q = _trunc_div(k, time_bucket)
+            digit = q - mn + 1
+            spilled = spilled | (q < mn) | (q >= mn + card)
+        else:
+            digit = jnp.where(k == MISSING, 0, k - mn + 1)
+            spilled = spilled | ((k != MISSING) &
+                                 ((k < mn) | (k >= mn + card)))
+        gid = gid * (card + 1) + jnp.clip(digit, 0, card)
+    gid = jnp.where(matched, gid, slots - 1).astype(jnp.int32)
+    spill = jnp.sum((spilled & matched).astype(jnp.int64))
+    return gid, spill
+
+
+def _dense_decode_keys(config: ScanConfig, time_bucket):
+    """Device-side gid -> key tuple decode for the [slots, K] table."""
+    slots = config.dense_slots
+    sid = jnp.arange(slots, dtype=jnp.int64)
+    cols = []
+    has_time = bool(config.time_col)
+    for i in reversed(range(len(config.key_bounds))):
+        mn, card = config.key_bounds[i]
+        digit = sid % (card + 1)
+        sid = sid // (card + 1)
+        if has_time and i == 0:
+            val = (digit - 1 + mn) * time_bucket
+        else:
+            val = jnp.where(digit == 0, MISSING, digit - 1 + mn)
+        cols.append(val)
+    cols.reverse()
+    if not cols:
+        cols = [jnp.zeros((slots,), jnp.int64)]
+    return jnp.stack(cols, axis=1)     # [slots, K]
+
+
+def _matmul_segsum(gid, lanes64, slots):
+    """Exact int64 segment sums on the MXU: one-hot[chunk, slots] int8 @
+    nibble-lanes[chunk, L*16] int8 -> int32, chunk partials accumulated
+    in int64, nibbles recombined mod 2^64."""
+    R, L = lanes64.shape
+    nib = _nibbles(lanes64)                      # [R, L*16] int8
+    # chunk rows so the one-hot temp stays <= ~32 MB
+    ch = max(_LANE, min(R, (1 << 25) // max(slots, 1)))
+    ch = 1 << (ch.bit_length() - 1)              # power of two
+    nchunk = -(-R // ch)
+    iot = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    rix = jnp.arange(ch, dtype=jnp.int32)
+
+    def body(c, acc):
+        start = jnp.minimum(c * ch, R - ch)
+        gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
+        sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, L * NIBBLES))
+        fresh = (start + rix) >= c * ch          # clamp-overlap mask
+        oh = ((gs[:, None] == iot) & fresh[:, None]).astype(jnp.int8)
+        d = jax.lax.dot_general(oh, sl, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return acc + d.astype(jnp.int64)
+
+    acc = jax.lax.fori_loop(
+        0, nchunk, body, jnp.zeros((slots, L * NIBBLES), jnp.int64))
+    return _recombine(acc, L)                    # [slots, L]
+
+
+def _dense_minmax(gid, v, keep, slots):
+    """Per-slot min/max of an int64 value lane.  Small slot counts use a
+    chunked masked broadcast reduce; larger ones one scatter-min/max."""
+    if slots <= 1024:
+        R = v.shape[0]
+        ch = max(_LANE, min(R, (1 << 22) // slots))
+        ch = 1 << (ch.bit_length() - 1)
+        nchunk = -(-R // ch)
+        iot = jnp.arange(slots, dtype=jnp.int32)[None, :]
+        rix = jnp.arange(ch, dtype=jnp.int32)
+
+        def body(c, mm):
+            mn, mx = mm
+            start = jnp.minimum(c * ch, R - ch)
+            gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
+            vs = jax.lax.dynamic_slice(v, (start,), (ch,))
+            ks = jax.lax.dynamic_slice(keep, (start,), (ch,))
+            fresh = (start + rix) >= c * ch
+            hit = (gs[:, None] == iot) & (ks & fresh)[:, None]
+            mn = jnp.minimum(mn, jnp.min(
+                jnp.where(hit, vs[:, None], jnp.int64(2**62)), axis=0))
+            mx = jnp.maximum(mx, jnp.max(
+                jnp.where(hit, vs[:, None], jnp.int64(-2**62)), axis=0))
+            return mn, mx
+
+        return jax.lax.fori_loop(
+            0, nchunk, body,
+            (jnp.full((slots,), 2**62, jnp.int64),
+             jnp.full((slots,), -2**62, jnp.int64)))
+    cg = jnp.where(keep, gid, slots)
+    mn = jnp.full((slots + 1,), 2**62, jnp.int64).at[cg].min(v)[:slots]
+    mx = jnp.full((slots + 1,), -2**62, jnp.int64).at[cg].max(v)[:slots]
+    return mn, mx
+
+
+def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+                time_bucket, set_aux):
+    B, C, R, flat, matched, keys, _, weight = _front_end(
+        config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
+    slots = config.dense_slots
+    gid, spill = _dense_gid(config, keys, matched, time_bucket)
+    lanes64, per_agg = _agg_row_data(config, cols, flat, matched, weight)
+    sums = _matmul_segsum(gid, lanes64, slots)   # [slots, 2+3A]
+    # the dead slot must read as empty
+    live_row = jnp.arange(slots) < slots - 1
+    count = jnp.where(live_row, sums[:, 0], 0)
+    samples = jnp.where(live_row, sums[:, 1], 0)
+
+    out = {
+        "num_groups": jnp.sum(((count > 0) | (samples > 0)).astype(jnp.int32)),
+        "keys": _dense_decode_keys(config, time_bucket),
+        "count": count,
+        "samples": samples,
+        "spill": spill,
+    }
+
+    any_hist = any(a.num_values > 0 for a in config.aggs)
+    key_rows = None
+    if config.track_outliers and any_hist:
+        key_rows = jnp.stack(keys, axis=1)       # [R, K] row-order
+    for ai, agg in enumerate(config.aggs):
+        v, keep = per_agg[ai]
+        out[f"agg{ai}_exists"] = sums[:, 2 + 3 * ai] > 0
+        out[f"agg{ai}_count"] = sums[:, 3 + 3 * ai]
+        out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
+        mn, mx = _dense_minmax(gid, v, keep, slots)
+        out[f"agg{ai}_min"] = mn
+        out[f"agg{ai}_max"] = mx
+        if agg.num_values > 0:
+            bv, inrange, is_out, nv = _hist_bucket(agg, v)
+            hcontrib = keep & inrange
+            out[f"agg{ai}_hist"] = _hist_scatter(
+                gid, hcontrib, weight, bv, nv, slots,
+                weighted=bool(config.weight_col))
+            if config.track_outliers:
+                _outlier_outputs(out, config, ai, hcontrib, is_out, v,
+                                 key_rows)
+
+    if config.want_matched_mask:
+        out["matched"] = matched.reshape(B, C)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sorted strategy: multi-key sort + boundary gid + stacked nibble scatter
+# ---------------------------------------------------------------------------
+
+def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+                 time_bucket, set_aux):
+    B, C, R, flat, matched, keys, dkeys, weight = _front_end(
+        config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
+
+    all_keys = [jnp.where(matched, k, SENTINEL) for k in keys + dkeys]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
+    n_group_keys = len(keys)
+    sorted_ops = jax.lax.sort([*all_keys, idx], num_keys=len(all_keys))
+    skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
 
     smatched = matched[sidx]
     sweight = weight[sidx]
@@ -199,21 +519,38 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
 
     S = config.max_groups
     in_cap = gid < S
-    cgid = jnp.minimum(gid, S - 1)
+    cgid = jnp.where(smatched & in_cap, gid, S)
     contrib = smatched & in_cap
 
-    def seg_sum(x, n=None):
-        return jax.ops.segment_sum(
-            jnp.where(contrib, x, 0), cgid, num_segments=n or S)
+    lanes64, per_agg_unsorted = _agg_row_data(config, cols, flat, matched,
+                                              weight)
+    slanes = lanes64[sidx]                      # one stacked row gather
+    L = slanes.shape[1]
+    nib = _nibbles(jnp.where(contrib[:, None], slanes, 0))
+    acc = jnp.zeros((S + 1, L * NIBBLES), jnp.int32).at[cgid].add(
+        nib.astype(jnp.int32))
+    sums = _recombine(acc[:S].astype(jnp.int64), L)   # [S, L]
+
+    # group keys: each segment's first row writes its key tuple — single
+    # writer per slot, so an exact int32-pair scatter-add suffices
+    kmat = jnp.stack(gkeys, axis=1)             # [R, K] int64 sorted
+    K = kmat.shape[1]
+    bid = jnp.where(prev_differs & contrib, cgid, S)
+    lo = (kmat.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (kmat.astype(jnp.uint64) >> jnp.uint64(32)).astype(jnp.uint32)
+    kpair = jnp.concatenate([lo, hi], axis=1).astype(jnp.int32)  # [R, 2K]
+    kacc = jnp.zeros((S + 1, 2 * K), jnp.int32).at[bid].add(kpair)[:S]
+    keys_tbl = (kacc[:, :K].astype(jnp.uint32).astype(jnp.uint64) |
+                (kacc[:, K:].astype(jnp.uint32).astype(jnp.uint64)
+                 << jnp.uint64(32))).astype(jnp.int64)
+    # dead slots read as sentinel-free zero rows; mark via samples/count=0
 
     out = {
         "num_groups": num_groups,
-        "keys": jnp.stack(
-            [jax.ops.segment_max(jnp.where(contrib, k, jnp.int64(-2**62)),
-                                 cgid, num_segments=S) for k in gkeys],
-            axis=1),
-        "count": seg_sum(sweight),
-        "samples": seg_sum(jnp.ones((R,), jnp.int64)),
+        "keys": keys_tbl,
+        "count": sums[:, 0],
+        "samples": sums[:, 1],
+        "spill": jnp.zeros((), jnp.int64),
     }
 
     # distinct pairs: boundary over the full (group+distinct) key tuple
@@ -225,70 +562,72 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         out["pair_mask"] = pair_differs & smatched
         out["sorted_keys"] = jnp.stack(skeys, axis=1)
 
-    # ------------------------------------------------------------------
-    # aggregations (aggregate.go:246-261 + hist_basic.go:101-151)
-    # ------------------------------------------------------------------
+    any_hist = any(a.num_values > 0 for a in config.aggs)
+    minmax_vs = []
     for ai, agg in enumerate(config.aggs):
-        avals, avalid = cols[agg.col]
-        v = take(avals)
-        populated = take(avalid)
-        keep = populated & ~((v > agg.discard_max) | (v < agg.discard_min))
-        kw = jnp.where(keep, sweight, 0)
+        v_un, keep_un = per_agg_unsorted[ai]
+        v = v_un[sidx]
+        keep = keep_un[sidx]
+        out[f"agg{ai}_exists"] = sums[:, 2 + 3 * ai] > 0
+        out[f"agg{ai}_count"] = sums[:, 3 + 3 * ai]
+        out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
+        minmax_vs.append((v, keep))
 
-        out[f"agg{ai}_exists"] = seg_sum(populated.astype(jnp.int64)) > 0
-        out[f"agg{ai}_count"] = seg_sum(kw)
-        # Σw·v in int64: exact (the reference's running float64 mean loses
-        # precision instead); overflows only past ~9e18 aggregate mass.
-        out[f"agg{ai}_wv"] = seg_sum(kw * v)
-        ccontrib = contrib & keep
-        out[f"agg{ai}_min"] = jax.ops.segment_min(
-            jnp.where(ccontrib, v, jnp.int64(2**62)), cgid, num_segments=S)
-        out[f"agg{ai}_max"] = jax.ops.segment_max(
-            jnp.where(ccontrib, v, jnp.int64(-2**62)), cgid, num_segments=S)
+    if config.aggs:
+        # one stacked scatter-min and scatter-max across all agg lanes
+        vm = jnp.stack([v for v, _ in minmax_vs], axis=1)    # [R, A]
+        km = jnp.stack([k for _, k in minmax_vs], axis=1)
+        anyk = contrib[:, None] & km
+        rowgid = jnp.where(anyk.any(axis=1), cgid, S)
+        mn = jnp.full((S + 1, vm.shape[1]), 2**62, jnp.int64).at[rowgid].min(
+            jnp.where(anyk, vm, jnp.int64(2**62)))[:S]
+        mx = jnp.full((S + 1, vm.shape[1]), -2**62, jnp.int64).at[rowgid].max(
+            jnp.where(anyk, vm, jnp.int64(-2**62)))[:S]
+        for ai in range(len(config.aggs)):
+            out[f"agg{ai}_min"] = mn[:, ai]
+            out[f"agg{ai}_max"] = mx[:, ai]
 
-        if agg.num_values > 0:
-            Sh = config.max_hist_groups
-            hcontrib = ccontrib & (cgid < Sh)
-            if agg.sub_edges:
-                # multihist: first matching sub-range, top range first
-                # (hist_multi.go:81-87); a value overflowing its sub's
-                # bucket array is a sub-outlier (folded into the sub's last
-                # slot AND recorded raw, hist_basic.go:133-137)
-                bv = jnp.zeros((R,), jnp.int32)
-                assigned = jnp.zeros((R,), bool)
-                is_out = jnp.zeros((R,), bool)
-                total_nv = agg.num_values
-                for (smin, smax, sbs, snv, soff) in agg.sub_edges:
-                    inrange = (v >= smin) & (v <= smax) & ~assigned
-                    raw_bv = _trunc_div(v - smin, sbs)
-                    is_out = is_out | (inrange & (raw_bv >= snv))
-                    sub_bv = jnp.clip(raw_bv, 0, snv - 1)
-                    bv = jnp.where(inrange, sub_bv.astype(jnp.int32) + soff, bv)
-                    assigned = assigned | inrange
-                hcontrib = hcontrib & assigned
-                nv = total_nv
-            else:
-                nv = agg.num_values
-                raw_bv = _trunc_div(v - agg.hist_min, agg.bucket_size)
-                is_out = raw_bv >= nv
-                bv = jnp.clip(raw_bv, 0, nv - 1).astype(jnp.int32)
-            flat_id = jnp.minimum(cgid, Sh - 1) * nv + bv
-            out[f"agg{ai}_hist"] = jax.ops.segment_sum(
-                jnp.where(hcontrib, sweight, 0), flat_id,
-                num_segments=Sh * nv).reshape(Sh, nv)
+    if any_hist:
+        Sh = config.max_hist_groups
+        for ai, agg in enumerate(config.aggs):
+            if agg.num_values <= 0:
+                continue
+            v, keep = minmax_vs[ai]
+            bv, inrange, is_out, nv = _hist_bucket(agg, v)
+            hcontrib = contrib & keep & inrange & (gid < Sh)
+            hgid = jnp.minimum(cgid, Sh - 1)
+            out[f"agg{ai}_hist"] = _hist_scatter(
+                hgid, hcontrib, sweight, bv, nv, Sh,
+                weighted=bool(config.weight_col))
             if config.track_outliers:
                 # outliers keyed by group-key tuple (not local gid) so the
                 # host fix-up also works on sharded partials
-                out_rows = hcontrib & is_out
-                out[f"agg{ai}_nout"] = jnp.sum(out_rows.astype(jnp.int64))
-                out[f"agg{ai}_out_mask"] = out_rows
-                out[f"agg{ai}_out_val"] = jnp.where(out_rows, v, 0)
-                out["sorted_gkeys"] = jnp.stack(gkeys, axis=1)
+                _outlier_outputs(out, config, ai, hcontrib, is_out, v,
+                                 jnp.stack(gkeys, axis=1))
 
     if config.want_matched_mask:
         out["matched"] = matched.reshape(B, C)
-
     return out
+
+
+def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+              time_bucket, set_aux):
+    """
+    cols:        {name: (values int64[B,C], valid bool[B,C])}
+    nrec:        int32[B] valid records per block
+    filter_vals: int64[F] dynamic filter constants (str filters hold the
+                 global dict id; -1 means "string never ingested")
+    bitsets:     tuple of bool[dict_size_i] regex match bitsets
+    time_bucket: int64 scalar (ignored unless config.time_col)
+    set_aux:     {name: (row_ids int32[M], vals int64[M])} flattened CSR
+                 for set columns, row_ids already offset into [0, R)
+                 (padding rows point at R)
+    """
+    if config.strategy == "dense":
+        return _scan_dense(config, cols, nrec, filter_vals, bitsets,
+                           time_bucket, set_aux)
+    return _scan_sorted(config, cols, nrec, filter_vals, bitsets,
+                        time_bucket, set_aux)
 
 
 scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
@@ -302,7 +641,8 @@ scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
 # engine downloads exactly ONE small int64 buffer per batch: a meta row,
 # a prefix of the group table, compacted (top_k) outlier rows, and
 # compacted distinct-pair rows.  Full-size arrays stay on device and are
-# only pulled when the meta row says the prefix overflowed.
+# only pulled when the meta row says the prefix overflowed.  The dense
+# strategy's table is small enough to download whole.
 # ---------------------------------------------------------------------------
 
 def main_width(config: ScanConfig) -> int:
@@ -310,12 +650,18 @@ def main_width(config: ScanConfig) -> int:
     return max(K + 2 + 5 * A, K + D + 1, 4 + A)
 
 
+def table_prefix(config: ScanConfig) -> int:
+    if config.strategy == "dense":
+        return config.dense_slots
+    return min(config.prefix_rows, config.max_groups)
+
+
 def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     K = config.n_key_cols
     A = len(config.aggs)
     D = len(config.distinct_cols)
-    S = config.max_groups
-    P = min(config.prefix_rows, S)
+    S = config.table_slots
+    P = table_prefix(config)
     W = main_width(config)
 
     def pad_to(arr2d, width):
@@ -332,7 +678,8 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
                        out[f"agg{ai}_min"], out[f"agg{ai}_max"]]
     table = jnp.stack(table_cols, axis=1)  # [S, K+2+5A]
 
-    meta = [out["num_groups"].astype(jnp.int64)]
+    meta = [out["num_groups"].astype(jnp.int64),
+            out.get("spill", jnp.zeros((), jnp.int64))]
     sections = [pad_to(table[:P], W)]
 
     hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
@@ -370,9 +717,18 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     packed = {"main": jnp.concatenate([meta_row] + sections, axis=0),
               "table": table}
     if hist_ais:
-        Ph = min(config.hist_prefix, config.max_hist_groups)
-        packed["hists"] = jnp.stack(
-            [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais])
+        Ph = min(config.hist_prefix, config.hist_slots)
+        if config.strategy == "dense":
+            # dense gids are spread over [0, slots): compact the active
+            # hist rows (count>0 or samples>0) and ship their gids along
+            live = ((out["count"] > 0) | (out["samples"] > 0))
+            _, gidx = jax.lax.top_k(live.astype(jnp.int32), Ph)
+            packed["hist_gids"] = gidx.astype(jnp.int32)
+            packed["hists"] = jnp.stack(
+                [out[f"agg{ai}_hist"][gidx] for ai in hist_ais])
+        else:
+            packed["hists"] = jnp.stack(
+                [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais])
     return packed
 
 

@@ -138,6 +138,7 @@ def _sharded_scan(config: ScanConfig, mesh: Mesh, axis: str,
         gathered = {k: jax.lax.all_gather(out[k], axis)
                     for k in merged_names}
         merged = merge_partials(config, gathered)
+        merged["spill"] = jax.lax.psum(out["spill"], axis)
         for ai, a in enumerate(config.aggs):
             if config.track_outliers and a.num_values > 0:
                 merged[f"agg{ai}_nout"] = jax.lax.psum(
@@ -147,7 +148,7 @@ def _sharded_scan(config: ScanConfig, mesh: Mesh, axis: str,
 
     col_specs = {k: (P(axis, None), P(axis, None)) for k in cols}
     merged_specs = {"num_groups": P(), "keys": P(), "count": P(),
-                    "samples": P()}
+                    "samples": P(), "spill": P()}
     for ai, a in enumerate(config.aggs):
         for suffix in ("exists", "count", "wv", "min", "max"):
             merged_specs[f"agg{ai}_{suffix}"] = P()

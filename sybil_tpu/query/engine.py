@@ -145,6 +145,32 @@ class BoundQuery:
         if flags.data_shards > 1 and any_hist:
             # the sharded merge moves hist rows with group rows: caps align
             max_groups = max_hist_groups
+
+        # dense-strategy key bounds ([time?, *groups]): str cols bound by
+        # the global dictionary, int cols by table IntInfo min/max (which
+        # is outlier-resistant — the scan spill-checks at runtime)
+        key_bounds = []
+        if params.time_bucket > 0:
+            kid = schema.key_table[params.time_col]
+            info = schema.int_info.get(kid)
+            if info is not None and params.time_bucket:
+                tb = params.time_bucket
+                qmin = self._trunc_div(info.min, tb)
+                qmax = self._trunc_div(info.max, tb)
+                key_bounds.append((qmin, qmax - qmin + 1))
+            else:
+                key_bounds.append((0, 0))
+        for g in params.groups:
+            if self.col_types[g] == STR_VAL:
+                key_bounds.append((0, max(len(table.dicts.get(g).strings), 1)))
+            else:
+                kid = schema.key_table[g]
+                info = schema.int_info.get(kid)
+                if info is None:
+                    key_bounds.append((0, 0))
+                else:
+                    key_bounds.append((info.min, info.max - info.min + 1))
+
         self.config = scanops.ScanConfig(
             group_cols=params.groups,
             aggs=tuple(aggspecs),
@@ -156,6 +182,8 @@ class BoundQuery:
             max_hist_groups=max_hist_groups,
             track_outliers=any(a.num_values > 0 for a in aggspecs),
             want_matched_mask=params.samples,
+            key_bounds=tuple(key_bounds),
+            force_sorted=flags.force_sorted,
         )
         self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
         self.bitsets = tuple(bitsets)
@@ -168,6 +196,11 @@ class BoundQuery:
         if params.weight_col:
             cols.add(params.weight_col)
         self.needed_cols = sorted(cols)
+
+    @staticmethod
+    def _trunc_div(x: int, d: int) -> int:
+        q = abs(x) // d
+        return q if x >= 0 else -q
 
     def refresh_str_filters(self) -> None:
         """Re-resolve str/set filter literals and regex bitsets against the
@@ -392,35 +425,63 @@ def run_query(table: Table, params: QueryParams,
             D = flags.data_shards
             B = max(B, D) // D * D  # batch divides evenly across the mesh
 
-    acc = _Accumulator(bound)
-    for start in range(0, len(block_dirs), B):
-        batch = block_dirs[start: start + B]
-        batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad w/ repeats
-        loader = BatchLoader(bound, batch_dirs, C)
-        cols, nrec, set_aux = loader.load()
-        nrec[len(batch):] = 0  # padded repeats contribute nothing
-        jcols = {k: (jnp.asarray(v), jnp.asarray(m))
-                 for k, (v, m) in cols.items()}
-        jnrec = jnp.asarray(nrec)
-        jfv = jnp.asarray(bound.filter_vals)
-        jbits = tuple(jnp.asarray(b) for b in bound.bitsets)
-        jtb = jnp.asarray(params.time_bucket or 1, dtype=jnp.int64)
-        R = B * C
-        if mesh is not None:
-            from ..ops.scan import pack_jit
-            from ..parallel.mesh import sharded_scan
-            out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv, jbits,
-                               jtb)
-            packed = pack_jit(bound.config, out, R)
-        else:
-            from ..ops.scan import scan_packed_jit
-            packed, out = scan_packed_jit(
-                bound.config, jcols, jnrec, jfv, jbits, jtb,
-                {k: (jnp.asarray(r), jnp.asarray(v))
-                 for k, (r, v) in set_aux.items()})
-        acc.absorb_packed(packed, out, R)
-        if params.samples and len(acc.sample_rows) < max(params.limit, 1) * 4:
-            acc.collect_samples(out, batch_dirs, nrec, C)
+    import dataclasses as _dc
+
+    jfv = jnp.asarray(bound.filter_vals)
+    jbits = tuple(jnp.asarray(b) for b in bound.bitsets)
+    jtb = jnp.asarray(params.time_bucket or 1, dtype=jnp.int64)
+    PIPELINE = 4   # batches in flight before the oldest download blocks
+
+    for attempt in range(2):
+        acc = _Accumulator(bound)
+        spilled = False
+        pending: list[tuple] = []
+
+        def drain_one() -> bool:
+            packed, out, R, batch_dirs, nrec = pending.pop(0)
+            if acc.absorb_packed(packed, out, R) > 0:
+                return False
+            if params.samples and \
+                    len(acc.sample_rows) < max(params.limit, 1) * 4:
+                acc.collect_samples(out, batch_dirs, nrec, C)
+            return True
+
+        for start in range(0, len(block_dirs), B):
+            batch = block_dirs[start: start + B]
+            batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
+            loader = BatchLoader(bound, batch_dirs, C)
+            cols, nrec, set_aux = loader.load()
+            nrec[len(batch):] = 0  # padded repeats contribute nothing
+            jcols = {k: (jnp.asarray(v), jnp.asarray(m))
+                     for k, (v, m) in cols.items()}
+            jnrec = jnp.asarray(nrec)
+            R = B * C
+            if mesh is not None:
+                from ..ops.scan import pack_jit
+                from ..parallel.mesh import sharded_scan
+                out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv,
+                                   jbits, jtb)
+                packed = pack_jit(bound.config, out, R)
+            else:
+                from ..ops.scan import scan_packed_jit
+                packed, out = scan_packed_jit(
+                    bound.config, jcols, jnrec, jfv, jbits, jtb,
+                    {k: (jnp.asarray(r), jnp.asarray(v))
+                     for k, (r, v) in set_aux.items()})
+            pending.append((packed, out, R, batch_dirs, nrec))
+            if len(pending) >= PIPELINE and not drain_one():
+                spilled = True
+                break
+        while not spilled and pending:
+            if not drain_one():
+                spilled = True
+        if not spilled:
+            break
+        # an int/time group key fell outside its IntInfo bound (the stats
+        # are outlier-resistant): redo the scan on the sorted strategy
+        debug("dense key bound spilled; retrying on sorted strategy")
+        bound.config = _dc.replace(bound.config, force_sorted=True)
+        pending.clear()
 
     if flags.read_log:
         _scan_rowstore(acc, bound, table, params, flags)
@@ -495,7 +556,17 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
             bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
             tuple(jnp.asarray(x) for x in bound.bitsets),
             jnp.asarray(params.time_bucket or 1, dtype=jnp.int64), set_aux)
-        acc.absorb_packed(packed, out, C)
+        if acc.absorb_packed(packed, out, C) > 0:
+            # WAL-only strings grew a dict past its bind-time bound:
+            # redo this pseudo-block on the sorted strategy
+            import dataclasses as _dc
+            bound.config = _dc.replace(bound.config, force_sorted=True)
+            packed, out = scan_packed_jit(
+                bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
+                tuple(jnp.asarray(x) for x in bound.bitsets),
+                jnp.asarray(params.time_bucket or 1, dtype=jnp.int64),
+                set_aux)
+            acc.absorb_packed(packed, out, C)
 
 
 class _Accumulator:
@@ -509,31 +580,41 @@ class _Accumulator:
         self.matched_count = 0
         self.sample_rows: list[dict] = []
 
-    def absorb_packed(self, packed, out, R: int) -> None:
+    def absorb_packed(self, packed, out, R: int) -> int:
         """Parse the single packed download (ops/scan.py pack_outputs):
-        row 0 meta [num_groups, nout per hist agg..., npairs]; then the
-        group-table prefix; then per-hist-agg compacted outlier rows; then
-        compacted distinct-pair rows.  Full device arrays in `out` are
-        touched only when the meta row reports prefix overflow."""
-        from ..ops.scan import SENTINEL
+        row 0 meta [num_groups, spill, nout per hist agg..., npairs]; then
+        the group-table prefix; then per-hist-agg compacted outlier rows;
+        then compacted distinct-pair rows.  Full device arrays in `out`
+        are touched only when the meta row reports prefix overflow.
+        Returns the dense-strategy spill count (>0 => caller must retry
+        on the sorted strategy; this batch's rows were NOT absorbed)."""
+        from ..ops.scan import SENTINEL, table_prefix
         config = self.bound.config
+        dense = config.strategy == "dense"
         p = self.params
         main = np.asarray(packed["main"])  # the one download
         K = config.n_key_cols
         A = len(p.aggs)
-        S = config.max_groups
-        P = min(config.prefix_rows, S)
+        S = config.table_slots
+        P = table_prefix(config)
 
         hist_ais = [ai for ai, a in enumerate(config.aggs)
                     if a.num_values > 0]
         meta = main[0]
         num_groups = int(meta[0])
-        nouts = {ai: int(meta[1 + i]) for i, ai in enumerate(hist_ais)}
-        npairs = int(meta[1 + len(hist_ais)])
+        spill = int(meta[1])
+        if spill > 0:
+            return spill
+        nouts = {ai: int(meta[2 + i]) for i, ai in enumerate(hist_ais)}
+        npairs = int(meta[2 + len(hist_ais)])
 
-        if num_groups > S:
-            warn("group cap", S, "exceeded; highest-keyed groups dropped")
-        n = min(num_groups, S)
+        if num_groups > config.max_groups:
+            warn("group cap", config.max_groups,
+                 "exceeded; highest-keyed groups dropped")
+        if dense:
+            n = P                      # actives scattered over the slots
+        else:
+            n = min(num_groups, S)
 
         if n > P:
             table = np.asarray(packed["table"][:n])  # escalation
@@ -542,10 +623,16 @@ class _Accumulator:
         keys = table[:, :K]
         counts = table[:, K]
         samples = table[:, K + 1]
-        self.matched_count += int(samples.sum())
+        active = np.nonzero((samples != 0) | (counts != 0))[0]
+        self.matched_count += int(samples[active].sum())
 
-        hists_small = np.asarray(packed["hists"]) if hist_ais else None
-        Ph = min(config.hist_prefix, config.max_hist_groups)
+        Ph = min(config.hist_prefix, config.hist_slots)
+        hist_row_of = None
+        if hist_ais:
+            hists_small = np.asarray(packed["hists"])
+            if dense:
+                gids = np.asarray(packed["hist_gids"])
+                hist_row_of = {int(g): i for i, g in enumerate(gids)}
 
         aggdata = []
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
@@ -558,14 +645,24 @@ class _Accumulator:
                 "max": table[:, base + 4],
             }
             if ai in nouts:  # hist agg
-                Sh = config.max_hist_groups
-                if num_groups > Sh:
+                Sh = config.hist_slots
+                if not dense and num_groups > Sh:
                     error("histogram group cap", Sh, "exceeded",
                           f"({num_groups} groups); raise flags.max_hist_groups")
-                if n > Ph:
-                    d["hist"] = np.asarray(out[f"agg{ai}_hist"][:n])
+                hsmall = hists_small[hist_ais.index(ai)]
+                if dense:
+                    if num_groups > Ph:   # actives overflow the compaction
+                        hfull = np.asarray(out[f"agg{ai}_hist"])
+                        d["hist_get"] = lambda gi, h=hfull: h[gi]
+                    else:
+                        d["hist_get"] = (
+                            lambda gi, h=hsmall, m=hist_row_of:
+                            h[m[gi]] if gi in m else None)
+                elif n > Ph:
+                    hfull = np.asarray(out[f"agg{ai}_hist"][:n])
+                    d["hist_get"] = lambda gi, h=hfull: h[gi]
                 else:
-                    d["hist"] = hists_small[hist_ais.index(ai)][:n]
+                    d["hist_get"] = lambda gi, h=hsmall: h[gi]
                 if nouts[ai] > 0:
                     kmax = min(config.max_out, R)
                     off = 1 + P + hist_ais.index(ai) * kmax
@@ -581,9 +678,7 @@ class _Accumulator:
                                               block[flags_col, K])
             aggdata.append(d)
 
-        for gi in range(n):
-            if samples[gi] == 0 and counts[gi] == 0:
-                continue  # dead sentinel slot
+        for gi in active:
             kt = tuple(int(k) for k in keys[gi])
             if kt and kt[0] == SENTINEL:
                 continue
@@ -608,9 +703,11 @@ class _Accumulator:
                     mn, mx = int(d["min"][gi]), int(d["max"][gi])
                     cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
                     cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
-                if "hist" in d:
-                    h = d["hist"][gi]
-                    cur["hist"] = h if cur["hist"] is None else cur["hist"] + h
+                if "hist_get" in d:
+                    h = d["hist_get"](gi)
+                    if h is not None:
+                        cur["hist"] = (h if cur["hist"] is None
+                                       else cur["hist"] + h)
 
         for ai, d in enumerate(aggdata):
             if "outlier_pairs" not in d:
@@ -634,6 +731,7 @@ class _Accumulator:
                 nkall = config.n_all_keys
                 skeys = block[block[:, nkall] != 0, :nkall]
             self._absorb_distinct(skeys, K)
+        return 0
 
     def _absorb_distinct(self, skeys: np.ndarray, nkeys: int) -> None:
         from ..ops.scan import SENTINEL
