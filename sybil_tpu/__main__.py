@@ -1,3 +1,16 @@
+import os
+
+# The ambient axon TPU plugin overrides JAX_PLATFORMS at import time, so
+# honoring the env var needs the config set before any backend init (a
+# second process cannot share the tunneled TPU anyway).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:  # noqa: BLE001 - CLI must still work without jax
+        pass
+
 from .cli import main
 
 if __name__ == "__main__":

@@ -174,6 +174,80 @@ def _all_column_names(table: Table, bdir: str) -> list[str]:
     return names
 
 
+def replay_logs_columnar(logs: list[str], table: Table):
+    """Decode WAL logs into one concatenated columnar batch.  Each log
+    goes through the native C++ codec (sybil_tpu/native) when possible,
+    falling back per-file to the Python row decoder + pivot; corrupt
+    files are skipped (table_ingest.go:125)."""
+    from . import columnar
+    batches = []
+    for log in logs:
+        batch = columnar.parse_log_columnar(log, table)
+        if batch is None:
+            try:
+                rows = rowstore.read_log(log)
+            except (OSError, ValueError) as e:
+                warn("skipping corrupt WAL file", log, e)
+                continue
+            batch = (rows_to_columns(rows, table), len(rows))
+        batches.append(batch)
+    return columnar.concat_batches(batches)
+
+
+def save_column_batch(table: Table, cols, n: int) -> int:
+    """Columnar save_record_list: sort by time, top up the last partial
+    block, slice into CHUNK_SIZE blocks.  Returns blocks written."""
+    from . import columnar
+    if not n:
+        return 0
+    cols = columnar.sort_batch_by_time(cols, n, table.flags.time_col)
+
+    written = 0
+    consumed = 0
+    # --- fill partial block (table_block_io.go:48-108) ---
+    partials = [(bdir, info) for bdir, info in table.block_infos().items()
+                if info.num_records < CHUNK_SIZE]
+    if partials:
+        bdir, info = partials[-1]
+        block_name = os.path.basename(bdir)
+        lock = BlockLock(table.dir, block_name)
+        if lock.grab():
+            try:
+                all_cols = _all_column_names(table, bdir)
+                old = blocks.load_block_columns(bdir, table.schema, all_cols)
+                delta = min(CHUNK_SIZE - info.num_records, n)
+                merged, m = columnar.concat_batches(
+                    [(old, info.num_records),
+                     (columnar.slice_batch(cols, 0, delta), delta)])
+                blocks.save_block(table.dir, block_name,
+                                  columnar.with_local_dicts(merged, table),
+                                  table.schema, table.flags.skip_outliers)
+                consumed = delta
+                written += 1
+            finally:
+                lock.release()
+
+    # --- slice the rest ---
+    for start in range(consumed, n, CHUNK_SIZE):
+        chunk = columnar.slice_batch(cols, start, min(start + CHUNK_SIZE, n))
+        name = table.new_block_name()
+        lock = BlockLock(table.dir, name)
+        if not lock.grab():
+            warn("could not lock new block", name)
+            continue
+        try:
+            blocks.save_block(table.dir, name,
+                              columnar.with_local_dicts(chunk, table),
+                              table.schema, table.flags.skip_outliers)
+            written += 1
+        finally:
+            lock.release()
+
+    table.dicts.save()
+    table.save_info()
+    return written
+
+
 def digest_records(table: Table) -> int:
     """Collate the WAL into columnar blocks; returns records digested."""
     lock = DigestLock(table.dir)
@@ -197,19 +271,13 @@ def digest_records(table: Table) -> int:
             except OSError:
                 pass
 
-        rows: list[dict] = []
-        for log in moved:
-            try:
-                rows.extend(rowstore.read_log(log))
-            except (OSError, ValueError) as e:
-                warn("skipping corrupt WAL file", log, e)
-
-        if rows:
-            save_record_list(table, rows)
+        cols, n = replay_logs_columnar(moved, table)
+        if n:
+            save_column_batch(table, cols, n)
 
         # logs deleted only after blocks validated (table_ingest.go:250-281)
         shutil.rmtree(stomache, ignore_errors=True)
-        debug("digested", len(rows), "records into", table.name)
-        return len(rows)
+        debug("digested", n, "records into", table.name)
+        return n
     finally:
         lock.release()

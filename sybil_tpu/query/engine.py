@@ -501,20 +501,13 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
     import jax.numpy as jnp
 
     from .. import rowstore
-    from ..digest import rows_to_columns
+    from ..digest import replay_logs_columnar
     from ..ops.scan import scan_packed_jit
 
-    rows = []
-    for log in rowstore.list_logs(table.dir):
-        try:
-            rows.extend(rowstore.read_log(log))
-        except (OSError, ValueError):
-            pass
-    if not rows:
+    data, n = replay_logs_columnar(rowstore.list_logs(table.dir), table)
+    if not n:
         return
-    data = rows_to_columns(rows, table)
     bound.refresh_str_filters()  # WAL-only strings got dict ids just now
-    n = len(rows)
     C = _pad_pow2(min(n, CHUNK_SIZE))
     nblocks = (n + C - 1) // C
     for b in range(nblocks):
