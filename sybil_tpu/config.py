@@ -64,6 +64,7 @@ class Flags:
     read_log: bool = False
     skip_compact: bool = False
     cache_queries: bool = False
+    cache_block_infos: bool = True   # batched block-info cache (table_io.go:242)
     skip_outliers: bool = True
     update_table_info: bool = False
     debug: bool = False

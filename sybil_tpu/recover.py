@@ -111,4 +111,7 @@ def update_table_info(table: Table) -> None:
             codec.write_json_atomic(os.path.join(bdir, "info.json"),
                                     new_info.to_json())
     table.save_info()
+    # block stats changed on disk: the batched block-info cache is stale
+    from . import blockcache
+    blockcache.clear(table.dir)
     debug("updated table info for", table.name)

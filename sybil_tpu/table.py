@@ -83,11 +83,28 @@ class Table:
         return f"{constants.BLOCK_PREFIX}{uuid.uuid4().hex[:12]}"
 
     def block_infos(self) -> dict[str, blocks.BlockInfo]:
+        """Per-block info, via the batched block-info cache when enabled
+        (table_io.go:242-368): full blocks are immutable, so their infos
+        are read once and served from cache/blocks_*.json.gz; partial
+        blocks are always re-read."""
+        from . import blockcache
+        from .constants import CHUNK_SIZE
+        cached = (blockcache.load(self.dir)
+                  if self.flags.cache_block_infos else {})
         out = {}
+        fresh: dict[str, blocks.BlockInfo] = {}
         for bdir in self.list_block_dirs():
-            info = blocks.load_block_info(bdir)
+            name = os.path.basename(bdir)
+            info = cached.get(name)
+            if info is None:
+                info = blocks.load_block_info(bdir)
+                if (info is not None and self.flags.cache_block_infos
+                        and info.num_records >= CHUNK_SIZE):
+                    fresh[name] = info
             if info is not None:
                 out[bdir] = info
+        if fresh:
+            blockcache.append(self.dir, fresh)
         return out
 
     def record_count(self) -> int:
