@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Headline benchmark: rows scanned+aggregated per second on the
-basic-aggregation query (group by host, avg ping) over a 1M-row uptime
-table — the reference's `make fake-data` + basic_aggregation_test.sh
-workload (BASELINE.md config 1/2).
+basic-aggregation query (group by host, avg ping) over an uptime table —
+the reference's `make fake-data` + basic_aggregation_test.sh workload
+(BASELINE.md config 1/2), scaled to 8M rows (the reference's own perf
+harness sweeps 100k-20M rows, scripts/test_cache_results.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -16,7 +17,6 @@ generous; revisit when a Go binary can be measured.
 
 import json
 import os
-import random
 import sys
 import time
 
@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BENCH_DIR = os.path.join(REPO, ".bench", "db")
-N_ROWS = 1_000_000
+N_ROWS = 8_000_000
 BASELINE_ROWS_PER_S = 20_000_000.0  # estimated Go sybil, one machine
 
 HOSTS = ["www.facebook.com", "www.yahoo.com", "www.google.com",
@@ -33,42 +33,49 @@ STATII = [200, 403, 404, 500, 503]
 
 
 def build_dataset():
+    import numpy as np
+
     from sybil_tpu.config import Flags
-    from sybil_tpu.digest import digest_records
-    from sybil_tpu.ingest import flatten_record
     from sybil_tpu.table import Table
 
-    flags = Flags(dir=BENCH_DIR, table="uptime", skip_compact=True)
-    t = Table("uptime", flags)
+    name = f"uptime{N_ROWS // 1_000_000}m"
+    flags = Flags(dir=BENCH_DIR, table=name, skip_compact=True,
+                  device_batch=128)
+    t = Table(name, flags)
     if t.exists() and t.load_info() and t.record_count() >= N_ROWS:
         return t, flags
 
-    print(f"building {N_ROWS}-row uptime table ...", file=sys.stderr)
-    rng = random.Random(1337)
+    print(f"building {N_ROWS}-row uptime table via bulk columnar ingest ...",
+          file=sys.stderr)
+    rng = np.random.default_rng(1337)
     now = 1_755_000_000
-    batch = []
     t0 = time.time()
-    for i in range(N_ROWS):
-        rec = {
-            "status": str(rng.choice(STATII)),
-            "host": rng.choice(HOSTS),
-            "ping": abs(rng.gauss(60, 20)),
-            "weight": rng.choice([1, 10, 100]),
-            "time": now + rng.randint(-2419200, 2419200),
-            "index_int": i,
-        }
-        batch.append(flatten_record(rec))
-        if len(batch) >= 200_000:
-            t.ingest_records(batch)
-            batch = []
-    if batch:
-        t.ingest_records(batch)
-    digest_records(t)
+    step = 1_000_000
+    for start in range(0, N_ROWS, step):
+        n = min(step, N_ROWS - start)
+        t.ingest_columns(
+            ints={
+                "status": rng.choice(STATII, n).astype(np.int64),
+                "ping": np.abs(rng.normal(60, 20, n)).astype(np.int64),
+                "weight": rng.choice([1, 10, 100], n).astype(np.int64),
+                "time": now + rng.integers(-2419200, 2419200, n),
+                "index_int": np.arange(start, start + n, dtype=np.int64),
+            },
+            strs={"host": [HOSTS[i] for i in rng.integers(0, 5, n)]})
+        print(f"  {start + n}/{N_ROWS}", file=sys.stderr)
     print(f"dataset built in {time.time() - t0:.1f}s", file=sys.stderr)
     return t, flags
 
 
 def main():
+    # persistent compile cache: the driver re-runs this in a fresh
+    # process; paying jit compile once, not per run, mirrors how a
+    # resident serving process would behave
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".bench", "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     t, flags = build_dataset()
 
     from sybil_tpu.query.engine import run_query
@@ -77,8 +84,10 @@ def main():
     params = QueryParams(groups=("host",), aggs=(AggDef("ping", "avg"),))
     n_rows = t.record_count()
 
-    # warm-up: jit compile + page cache
+    # warm-up: jit compile + HBM column residency
+    t0 = time.time()
     qr = run_query(t, params, flags)
+    print(f"warm-up {time.time() - t0:.1f}s", file=sys.stderr)
     total = sum(r.count for r in qr.results.values())
     assert total == n_rows, f"scan covered {total}/{n_rows} rows"
 

@@ -125,6 +125,82 @@ class Table:
         if not self.flags.skip_compact:
             self.maybe_compact()
 
+    def ingest_columns(self, ints: dict | None = None,
+                       strs: dict | None = None,
+                       sets: dict | None = None,
+                       valid: dict | None = None) -> int:
+        """Bulk columnar ingest: write blocks directly, bypassing the WAL
+        — the reference's ChunkAndSave direct-block path for large
+        buffered batches (table.go ChunkAndSave, table_io.go:376).
+
+        ints: {col: int array-like [N]}; strs: {col: list[str] [N]};
+        sets: {col: list[list[str]] [N]}; valid: optional {col: bool[N]}
+        presence masks (default: all rows populated).  All columns must
+        share the same N.  Returns blocks written.
+        """
+        ints, strs, sets = ints or {}, strs or {}, sets or {}
+        valid = valid or {}
+        lens = ([len(v) for v in ints.values()]
+                + [len(v) for v in strs.values()]
+                + [len(v) for v in sets.values()])
+        if not lens:
+            return 0
+        n = lens[0]
+        if any(x != n for x in lens):
+            raise ValueError("ingest_columns: column lengths differ")
+
+        os.makedirs(self.dir, exist_ok=True)
+        self.load_info()
+        schema = self.schema
+        skip_outliers = self.flags.skip_outliers
+        cols: dict[str, blocks.ColumnData] = {}
+
+        def mask(name) -> np.ndarray:
+            m = valid.get(name)
+            return (np.asarray(m, dtype=bool) if m is not None
+                    else np.ones(n, dtype=bool))
+
+        from .schema import IntInfo, StrInfo
+        for name, vals in ints.items():
+            kid = schema.get_key_id(name)
+            if not schema.set_key_type(kid, constants.INT_VAL):
+                continue
+            v = np.asarray(vals, dtype=np.int64)
+            m = mask(name)
+            schema.int_info.setdefault(kid, IntInfo()).update_many(
+                v[m], skip_outliers)
+            cols[name] = blocks.IntColumnData(v, m)
+        for name, vals in strs.items():
+            kid = schema.get_key_id(name)
+            if not schema.set_key_type(kid, constants.STR_VAL):
+                continue
+            m = mask(name)
+            arr = np.asarray(vals, dtype=object)
+            uniq, inverse = np.unique(arr.astype(str), return_inverse=True)
+            gd = self.dicts.get(name)
+            remap = np.fromiter((gd.get_or_add(s) for s in uniq.tolist()),
+                                dtype=np.int32, count=len(uniq))
+            counts = np.bincount(inverse[m], minlength=len(uniq))
+            schema.str_info.setdefault(kid, StrInfo()).update_many(
+                uniq.tolist(), counts)
+            ids = np.where(m, remap[inverse], 0).astype(np.int32)
+            cols[name] = blocks.StrColumnData(ids, m, [])
+        for name, lists in sets.items():
+            kid = schema.get_key_id(name)
+            if not schema.set_key_type(kid, constants.SET_VAL):
+                continue
+            gd = self.dicts.get(name)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in lists], out=offsets[1:])
+            flat = np.fromiter((gd.get_or_add(s) for lst in lists
+                                for s in lst),
+                               dtype=np.int32, count=int(offsets[-1]))
+            cols[name] = blocks.SetColumnData(offsets.astype(np.int32),
+                                              flat, [])
+
+        from .digest import save_column_batch
+        return save_column_batch(self, cols, n)
+
     def should_compact(self) -> bool:
         count, size = rowstore.log_stats(self.dir)
         return (count > constants.FILE_DIGEST_THRESHOLD
