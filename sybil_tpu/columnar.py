@@ -12,6 +12,7 @@ Python.
 from __future__ import annotations
 
 import gzip
+import zlib
 
 import numpy as np
 
@@ -41,12 +42,24 @@ def parse_log_columnar(path: str, table) -> Batch | None:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rb") as f:
             data = f.read()
-    except OSError:
+    except (OSError, EOFError, zlib.error):
+        # truncated/corrupt .wal.gz raises EOFError/zlib.error from the
+        # gzip read itself; fall back so the Python path's corrupt-file
+        # skip handles it rather than wedging digestion forever
         return None
     raw = native.parse_wal_bytes(data)
     if raw is None:
         return None
+    try:
+        return _raw_to_batch(raw, table)
+    except UnicodeDecodeError:
+        # the native decoder emitted bytes Python can't interpret as
+        # UTF-8 (an escape shape it doesn't model) — fall back to the
+        # Python row decoder, whose json.loads handles such strings
+        return None
 
+
+def _raw_to_batch(raw: dict, table) -> Batch:
     schema = table.schema
     n = raw["n"]
     cols: dict[str, ColumnData] = {}

@@ -51,19 +51,42 @@ class DictStore:
     def __init__(self, table_dir: str):
         self.dir = os.path.join(table_dir, constants.DICT_DIR)
         self._dicts: dict[str, GlobalDict] = {}
+        self._mtimes: dict[str, int] = {}
 
     def _path(self, col: str) -> str:
         safe = col.replace("/", "%2F")
         return os.path.join(self.dir, f"{safe}.sy")
 
+    def _mtime(self, col: str) -> int:
+        try:
+            return os.stat(self._path(col)).st_mtime_ns
+        except FileNotFoundError:
+            return -1
+
     def get(self, col: str) -> GlobalDict:
         d = self._dicts.get(col)
+        if d is not None and not d.dirty:
+            # another process may have extended+republished the dict;
+            # the file is replaced by rename so mtime is a safe staleness
+            # probe.  Dirty (locally extended, unsaved) dicts are never
+            # auto-reloaded — writers must call reload() under the digest
+            # lock BEFORE extending (see digest.digest_records).
+            if self._mtime(col) != self._mtimes.get(col, -1):
+                d = None
         if d is None:
             d = self._load(col)
             self._dicts[col] = d
         return d
 
+    def reload(self) -> None:
+        """Drop every cached dict so the next get() re-reads from disk.
+        Writers call this immediately after acquiring the digest lock so
+        they extend the latest published snapshot, never a stale one."""
+        self._dicts.clear()
+        self._mtimes.clear()
+
     def _load(self, col: str) -> GlobalDict:
+        self._mtimes[col] = self._mtime(col)
         try:
             c = codec.read_container(self._path(col))
         except FileNotFoundError:
@@ -87,3 +110,4 @@ class DictStore:
             codec.write_container(self._path(c), {"cardinality": len(encoded)},
                                   {"blob": blob, "offsets": offsets})
             d.dirty = False
+            self._mtimes[c] = self._mtime(c)

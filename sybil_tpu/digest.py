@@ -127,21 +127,28 @@ def save_record_list(table: Table, rows: list[dict]) -> int:
     partials = [(bdir, info) for bdir, info in table.block_infos().items()
                 if info.num_records < CHUNK_SIZE]
     if partials:
-        bdir, info = partials[-1]
+        bdir, _ = partials[-1]
         block_name = os.path.basename(bdir)
         lock = BlockLock(table.dir, block_name)
         if lock.grab():
             try:
-                all_cols = _all_column_names(table, bdir)
-                cols = blocks.load_block_columns(bdir, table.schema, all_cols)
-                old_rows = columns_to_rows(cols, table, info.num_records)
-                delta = min(CHUNK_SIZE - len(old_rows), len(rows))
-                merged = old_rows + rows[:delta]
-                blocks.save_block(table.dir, block_name,
-                                  rows_to_columns(merged, table), table.schema,
-                                  table.flags.skip_outliers)
-                rows = rows[delta:]
-                written += 1
+                # re-read the block info AFTER grabbing the lock: the
+                # pre-lock snapshot may be stale if another writer topped
+                # up the same block in between
+                info = blocks.load_block_info(bdir)
+                if info is not None and info.num_records < CHUNK_SIZE:
+                    all_cols = _all_column_names(table, bdir)
+                    cols = blocks.load_block_columns(bdir, table.schema,
+                                                     all_cols)
+                    old_rows = columns_to_rows(cols, table, info.num_records)
+                    delta = min(CHUNK_SIZE - len(old_rows), len(rows))
+                    merged = old_rows + rows[:delta]
+                    blocks.save_block(table.dir, block_name,
+                                      rows_to_columns(merged, table),
+                                      table.schema,
+                                      table.flags.skip_outliers)
+                    rows = rows[delta:]
+                    written += 1
             finally:
                 lock.release()
 
@@ -160,8 +167,11 @@ def save_record_list(table: Table, rows: list[dict]) -> int:
         finally:
             lock.release()
 
+    # dicts extended during replay are published here (under the digest
+    # lock); the schema is NOT re-saved — digestion never mutates it, and
+    # writing a stale snapshot would clobber concurrent ingesters'
+    # schema updates (Table.update_info holds the only write path)
     table.dicts.save()
-    table.save_info()
     return written
 
 
@@ -186,7 +196,7 @@ def replay_logs_columnar(logs: list[str], table: Table):
         if batch is None:
             try:
                 rows = rowstore.read_log(log)
-            except (OSError, ValueError) as e:
+            except (OSError, EOFError, ValueError) as e:
                 warn("skipping corrupt WAL file", log, e)
                 continue
             batch = (rows_to_columns(rows, table), len(rows))
@@ -208,22 +218,28 @@ def save_column_batch(table: Table, cols, n: int) -> int:
     partials = [(bdir, info) for bdir, info in table.block_infos().items()
                 if info.num_records < CHUNK_SIZE]
     if partials:
-        bdir, info = partials[-1]
+        bdir, _ = partials[-1]
         block_name = os.path.basename(bdir)
         lock = BlockLock(table.dir, block_name)
         if lock.grab():
             try:
-                all_cols = _all_column_names(table, bdir)
-                old = blocks.load_block_columns(bdir, table.schema, all_cols)
-                delta = min(CHUNK_SIZE - info.num_records, n)
-                merged, m = columnar.concat_batches(
-                    [(old, info.num_records),
-                     (columnar.slice_batch(cols, 0, delta), delta)])
-                blocks.save_block(table.dir, block_name,
-                                  columnar.with_local_dicts(merged, table),
-                                  table.schema, table.flags.skip_outliers)
-                consumed = delta
-                written += 1
+                # re-read AFTER grabbing the lock (stale pre-lock count
+                # would mis-size the concat and corrupt set offsets)
+                info = blocks.load_block_info(bdir)
+                if info is not None and info.num_records < CHUNK_SIZE:
+                    all_cols = _all_column_names(table, bdir)
+                    old = blocks.load_block_columns(bdir, table.schema,
+                                                    all_cols)
+                    delta = min(CHUNK_SIZE - info.num_records, n)
+                    merged, m = columnar.concat_batches(
+                        [(old, info.num_records),
+                         (columnar.slice_batch(cols, 0, delta), delta)])
+                    blocks.save_block(table.dir, block_name,
+                                      columnar.with_local_dicts(merged, table),
+                                      table.schema,
+                                      table.flags.skip_outliers)
+                    consumed = delta
+                    written += 1
             finally:
                 lock.release()
 
@@ -243,8 +259,11 @@ def save_column_batch(table: Table, cols, n: int) -> int:
         finally:
             lock.release()
 
+    # dicts extended during replay are published here (under the digest
+    # lock); the schema is NOT re-saved — digestion never mutates it, and
+    # writing a stale snapshot would clobber concurrent ingesters'
+    # schema updates (Table.update_info holds the only write path)
     table.dicts.save()
-    table.save_info()
     return written
 
 
@@ -256,6 +275,8 @@ def digest_records(table: Table) -> int:
         return 0
     try:
         table.load_info()
+        # extend the latest published dict snapshot, never a stale cache
+        table.dicts.reload()
         logs = rowstore.list_logs(table.dir)
         if not logs:
             return 0

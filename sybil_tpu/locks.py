@@ -50,24 +50,45 @@ class Lock:
 
     def grab(self) -> bool:
         os.makedirs(self.table_dir, exist_ok=True)
-        for _ in range(LOCK_TRIES):
+        # The lock file must appear with its PID content atomically: an
+        # O_CREAT|O_EXCL create followed by a write leaves a window where
+        # a contender reads an empty pidfile, concludes the owner is dead
+        # and "recovers" a perfectly healthy lock.  Write the PID to a
+        # private temp file and link(2) it into place instead.
+        tmp = f"{self.path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            for _ in range(LOCK_TRIES):
+                try:
+                    os.link(tmp, self.path)
+                    return True
+                except FileExistsError:
+                    if self._try_break():
+                        continue
+                    time.sleep(LOCK_SLEEP_S)
+            return False
+        finally:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    f.write(str(os.getpid()))
-                return True
-            except FileExistsError:
-                if self._try_break():
-                    continue
-                time.sleep(LOCK_SLEEP_S)
-        return False
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def _try_break(self) -> bool:
         try:
             with open(self.path) as f:
                 raw = f.read().strip()
+        except FileNotFoundError:
+            # owner released between our link() attempt and this read:
+            # nothing to recover, retry the grab immediately
+            return True
+        except OSError:
+            return False
+        try:
+            # grab() links the pidfile into place with its content already
+            # written, so empty/garbage content means real corruption
             pid = int(raw) if raw else 0
-        except (OSError, ValueError):
+        except ValueError:
             pid = 0
         if pid == os.getpid():
             return False
@@ -109,7 +130,11 @@ class InfoLock(Lock):
         info = os.path.join(self.table_dir, "info.json")
         bak = info + ".bak"
         if os.path.exists(bak):
-            shutil.copy(bak, info)
+            # restore atomically: a plain copy truncates info.json under
+            # concurrent readers
+            tmp = f"{info}.{os.getpid()}.restore"
+            shutil.copy(bak, tmp)
+            os.rename(tmp, info)
             return True
         # nothing to restore; breaking the lock is still safe because the
         # writer publishes atomically (temp+rename)

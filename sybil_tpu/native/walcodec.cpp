@@ -133,6 +133,14 @@ struct Parser {
               fail();
               return false;
             }
+          } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
+            // lone low surrogate (json.dumps emits these for strings
+            // that came through surrogateescape decoding): encoding it
+            // would produce invalid UTF-8 that crashes the consumer —
+            // fail so the caller falls back to the Python decoder,
+            // whose json.loads handles such strings.
+            fail();
+            return false;
           }
           append_utf8(out, cp);
           break;

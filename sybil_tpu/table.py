@@ -43,24 +43,50 @@ class Table:
     def exists(self) -> bool:
         return os.path.exists(self.info_path) or os.path.exists(self.info_path + ".bak")
 
+    def _load_info_nolock(self) -> bool:
+        try:
+            data = codec.read_json(self.info_path)
+        except FileNotFoundError:
+            return False
+        except ValueError:
+            # torn/corrupt info.json: fall back to the .bak checkpoint
+            # (the reference restores from .bak, table_lock.go:51-76)
+            try:
+                data = codec.read_json(self.info_path + ".bak")
+            except (FileNotFoundError, ValueError):
+                return False
+        self.schema = Schema.from_json(data.get("schema", {}))
+        self._info_loaded = True
+        return True
+
+    def _save_info_nolock(self) -> None:
+        codec.write_json_atomic(self.info_path,
+                                {"name": self.name,
+                                 "schema": self.schema.to_json(),
+                                 "version": constants.VERSION},
+                                backup=True)
+
     def load_info(self) -> bool:
         with InfoLock(self.dir):
-            try:
-                data = codec.read_json(self.info_path)
-            except FileNotFoundError:
-                return False
-            self.schema = Schema.from_json(data.get("schema", {}))
-            self._info_loaded = True
-            return True
+            return self._load_info_nolock()
 
     def save_info(self) -> None:
         os.makedirs(self.dir, exist_ok=True)
         with InfoLock(self.dir):
-            codec.write_json_atomic(self.info_path,
-                                    {"name": self.name,
-                                     "schema": self.schema.to_json(),
-                                     "version": constants.VERSION},
-                                    backup=True)
+            self._save_info_nolock()
+
+    def update_info(self, mutate) -> None:
+        """Read-modify-write the table info under ONE InfoLock session:
+        load the freshest on-disk schema, apply `mutate(schema)`, save.
+        Every cross-process schema mutation (new key ids, type claims,
+        stat updates) must go through here — separate load_info() /
+        save_info() calls let two first-ingesters assign the same key id
+        to different columns (block stats are keyed by id)."""
+        os.makedirs(self.dir, exist_ok=True)
+        with InfoLock(self.dir):
+            self._load_info_nolock()
+            mutate(self.schema)
+            self._save_info_nolock()
 
     # ------------------------------------------------------------------
     # blocks
@@ -118,10 +144,12 @@ class Table:
         if not records:
             return
         os.makedirs(self.dir, exist_ok=True)
-        self.load_info()
-        update_schema_stats(self.schema, records, self.flags.skip_outliers)
+        # schema first, WAL second: digestion drops columns whose type is
+        # missing from the schema, so the type claims must be durable
+        # before the records become digestible
+        self.update_info(lambda schema: update_schema_stats(
+            schema, records, self.flags.skip_outliers))
         rowstore.append_records_to_log(self.dir, records)
-        self.save_info()
         if not self.flags.skip_compact:
             self.maybe_compact()
 
@@ -150,56 +178,93 @@ class Table:
             raise ValueError("ingest_columns: column lengths differ")
 
         os.makedirs(self.dir, exist_ok=True)
-        self.load_info()
-        schema = self.schema
-        skip_outliers = self.flags.skip_outliers
-        cols: dict[str, blocks.ColumnData] = {}
+        # Bulk ingest writes blocks and extends the global string dicts,
+        # so it is a digester: take the digest lock (single-writer
+        # invariant, dicts.py) and reload dicts from disk under it so we
+        # extend the latest published snapshot.
+        lock = DigestLock(self.dir)
+        if not lock.grab():
+            raise IOError(f"could not grab digest lock for {self.name}")
+        try:
+            self.dicts.reload()
+            skip_outliers = self.flags.skip_outliers
 
-        def mask(name) -> np.ndarray:
-            m = valid.get(name)
-            return (np.asarray(m, dtype=bool) if m is not None
-                    else np.ones(n, dtype=bool))
+            def mask(name) -> np.ndarray:
+                m = valid.get(name)
+                return (np.asarray(m, dtype=bool) if m is not None
+                        else np.ones(n, dtype=bool))
 
-        from .schema import IntInfo, StrInfo
-        for name, vals in ints.items():
-            kid = schema.get_key_id(name)
-            if not schema.set_key_type(kid, constants.INT_VAL):
-                continue
-            v = np.asarray(vals, dtype=np.int64)
-            m = mask(name)
-            schema.int_info.setdefault(kid, IntInfo()).update_many(
-                v[m], skip_outliers)
-            cols[name] = blocks.IntColumnData(v, m)
-        for name, vals in strs.items():
-            kid = schema.get_key_id(name)
-            if not schema.set_key_type(kid, constants.STR_VAL):
-                continue
-            m = mask(name)
-            arr = np.asarray(vals, dtype=object)
-            uniq, inverse = np.unique(arr.astype(str), return_inverse=True)
-            gd = self.dicts.get(name)
-            remap = np.fromiter((gd.get_or_add(s) for s in uniq.tolist()),
-                                dtype=np.int32, count=len(uniq))
-            counts = np.bincount(inverse[m], minlength=len(uniq))
-            schema.str_info.setdefault(kid, StrInfo()).update_many(
-                uniq.tolist(), counts)
-            ids = np.where(m, remap[inverse], 0).astype(np.int32)
-            cols[name] = blocks.StrColumnData(ids, m, [])
-        for name, lists in sets.items():
-            kid = schema.get_key_id(name)
-            if not schema.set_key_type(kid, constants.SET_VAL):
-                continue
-            gd = self.dicts.get(name)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum([len(x) for x in lists], out=offsets[1:])
-            flat = np.fromiter((gd.get_or_add(s) for lst in lists
-                                for s in lst),
-                               dtype=np.int32, count=int(offsets[-1]))
-            cols[name] = blocks.SetColumnData(offsets.astype(np.int32),
-                                              flat, [])
+            # convert arrays and assign dict ids OUTSIDE the info lock
+            # (dict appends are covered by the digest lock)
+            cand_ints = {}
+            for name, vals in ints.items():
+                cand_ints[name] = (np.asarray(vals, dtype=np.int64),
+                                   mask(name))
+            cand_strs = {}
+            for name, vals in strs.items():
+                m = mask(name)
+                arr = np.asarray(vals, dtype=object)
+                uniq, inverse = np.unique(arr.astype(str),
+                                          return_inverse=True)
+                gd = self.dicts.get(name)
+                remap = np.fromiter((gd.get_or_add(s) for s in uniq.tolist()),
+                                    dtype=np.int32, count=len(uniq))
+                counts = np.bincount(inverse[m], minlength=len(uniq))
+                ids = np.where(m, remap[inverse], 0).astype(np.int32)
+                cand_strs[name] = (ids, m, uniq.tolist(), counts)
+            cand_sets = {}
+            for name, lists in sets.items():
+                gd = self.dicts.get(name)
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum([len(x) for x in lists], out=offsets[1:])
+                flat = np.fromiter((gd.get_or_add(s) for lst in lists
+                                    for s in lst),
+                                   dtype=np.int32, count=int(offsets[-1]))
+                cand_sets[name] = (offsets.astype(np.int32), flat)
 
-        from .digest import save_column_batch
-        return save_column_batch(self, cols, n)
+            # one locked read-modify-write claims key ids/types and folds
+            # the stats into the freshest on-disk schema
+            accepted: set[str] = set()
+
+            def claim(schema):
+                from .schema import IntInfo, StrInfo
+                accepted.clear()
+                for name, (v, m) in cand_ints.items():
+                    kid = schema.get_key_id(name)
+                    if not schema.set_key_type(kid, constants.INT_VAL):
+                        continue
+                    schema.int_info.setdefault(kid, IntInfo()).update_many(
+                        v[m], skip_outliers)
+                    accepted.add(name)
+                for name, (ids, m, uniq, counts) in cand_strs.items():
+                    kid = schema.get_key_id(name)
+                    if not schema.set_key_type(kid, constants.STR_VAL):
+                        continue
+                    schema.str_info.setdefault(kid, StrInfo()).update_many(
+                        uniq, counts)
+                    accepted.add(name)
+                for name in cand_sets:
+                    kid = schema.get_key_id(name)
+                    if schema.set_key_type(kid, constants.SET_VAL):
+                        accepted.add(name)
+
+            self.update_info(claim)
+
+            cols: dict[str, blocks.ColumnData] = {}
+            for name, (v, m) in cand_ints.items():
+                if name in accepted:
+                    cols[name] = blocks.IntColumnData(v, m)
+            for name, (ids, m, _, _) in cand_strs.items():
+                if name in accepted:
+                    cols[name] = blocks.StrColumnData(ids, m, [])
+            for name, (offsets, flat) in cand_sets.items():
+                if name in accepted:
+                    cols[name] = blocks.SetColumnData(offsets, flat, [])
+
+            from .digest import save_column_batch
+            return save_column_batch(self, cols, n)
+        finally:
+            lock.release()
 
     def should_compact(self) -> bool:
         count, size = rowstore.log_stats(self.dir)

@@ -41,6 +41,43 @@ print("digester done")
 """
 
 
+STR_INGESTER = """
+import sys
+sys.path.insert(0, {repo!r})
+from sybil_tpu.config import Flags
+from sybil_tpu.ingest import flatten_record
+from sybil_tpu.table import Table
+flags = Flags(dir={db!r}, table="t", skip_compact=True)
+t = Table("t", flags)
+wid = int(sys.argv[1])
+for batch in range(4):
+    t.ingest_records([flatten_record(
+        {{"w": wid, "v": batch * 100 + i,
+          "tag": "tag%d" % ((wid * 7 + i) % 11),
+          "own%d" % wid: "w%d" % wid}})
+        for i in range(25)])
+print("ingester", wid, "done")
+"""
+
+BULK_INGESTER = """
+import sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from sybil_tpu.config import Flags
+from sybil_tpu.table import Table
+flags = Flags(dir={db!r}, table="t", skip_compact=True)
+t = Table("t", flags)
+wid = int(sys.argv[1])
+for batch in range(3):
+    n = 40
+    t.ingest_columns(
+        ints={{"bulkv": np.arange(n) + wid * 1000 + batch * 100}},
+        strs={{"tag": ["tag%d" % ((wid * 7 + i) % 11) for i in range(n)],
+               "bulkcol%d" % wid: ["b%d" % wid] * n}})
+print("bulk", wid, "done")
+"""
+
+
 def test_concurrent_ingest_digest(tmp_path):
     db = str(tmp_path / "db")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
@@ -72,3 +109,73 @@ def test_concurrent_ingest_digest(tmp_path):
     qr = run_query(t, QueryParams(groups=("w",)), flags)
     assert {k.strip(): r.count for k, r in qr.results.items()} == {
         str(w): 100 for w in range(4)}
+
+
+def test_concurrent_string_and_new_columns(tmp_path):
+    """VERDICT r1 task 3: string + per-worker NEW columns from >=4
+    concurrent processes (WAL ingesters racing bulk columnar ingesters
+    racing digesters).  Afterwards: every key id maps to exactly one
+    column, every global dict id resolves to one string, and group-by
+    counts on the shared string column are exact."""
+    db = str(tmp_path / "db")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    procs = []
+    for wid in range(4):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", STR_INGESTER.format(repo=REPO, db=db),
+             str(wid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for wid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", BULK_INGESTER.format(repo=REPO, db=db),
+             str(wid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    procs.append(subprocess.Popen(
+        [sys.executable, "-c", DIGESTER.format(repo=REPO, db=db)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err.decode()
+
+    from sybil_tpu.config import Flags
+    from sybil_tpu.digest import digest_records
+    from sybil_tpu.query.engine import run_query
+    from sybil_tpu.query.spec import QueryParams
+    from sybil_tpu.table import Table
+    flags = Flags(dir=db, table="t", skip_compact=True)
+    t = Table("t", flags)
+    digest_records(t)
+    t.load_info()
+
+    # schema consistency: key ids are unique, every expected column exists
+    kids = list(t.schema.key_table.values())
+    assert len(kids) == len(set(kids)), "duplicate key ids assigned"
+    expected_cols = {"w", "v", "tag", "bulkv"}
+    expected_cols |= {f"own{w}" for w in range(4)}
+    expected_cols |= {f"bulkcol{w}" for w in range(2)}
+    assert expected_cols <= set(t.schema.key_table), (
+        expected_cols - set(t.schema.key_table))
+
+    # dict consistency: ids are dense and strings unique
+    gd = t.dicts.get("tag")
+    assert len(set(gd.strings)) == len(gd.strings), "dict id clobbered"
+    assert set(gd.strings) == {f"tag{k}" for k in range(11)}
+
+    wal_rows = 4 * 4 * 25
+    bulk_rows = 2 * 3 * 40
+    assert t.record_count() == wal_rows + bulk_rows
+
+    # exact per-tag counts: WAL ingester w writes i in 0..24 per batch x4,
+    # bulk ingester w writes i in 0..39 per batch x3
+    expected = {f"tag{k}": 0 for k in range(11)}
+    for w in range(4):
+        for _ in range(4):
+            for i in range(25):
+                expected[f"tag{(w * 7 + i) % 11}"] += 1
+    for w in range(2):
+        for _ in range(3):
+            for i in range(40):
+                expected[f"tag{(w * 7 + i) % 11}"] += 1
+    qr = run_query(t, QueryParams(groups=("tag",)), flags)
+    got = {k.strip(): r.count for k, r in qr.results.items()}
+    assert got == expected
