@@ -98,6 +98,8 @@ def _query_parser():
     p.add_argument("-print", "--print", dest="print_", action="store_true",
                    default=True)
     p.add_argument("-samples", "--samples", action="store_true")
+    p.add_argument("-export", "--export", action="store_true",
+                   help="export scanned data to db/TABLE/export/*.tsv.gz")
     p.add_argument("-json", "--json", action="store_true")
     p.add_argument("-sort", "--sort", default="$COUNT")
     p.add_argument("-sort-asc", "--sort-asc", action="store_true")
@@ -141,6 +143,7 @@ def _flags_from_query_args(args) -> Flags:
     flags.print_info = args.info
     flags.limit = args.limit
     flags.samples = args.samples
+    flags.export = args.export
     flags.json = args.json
     flags.sort = args.sort
     flags.sort_asc = args.sort_asc
@@ -218,6 +221,13 @@ def run_query_flags(flags: Flags) -> int:
         from .recover import update_table_info
         update_table_info(t)
         return 0
+
+    if flags.export:
+        # query -export dumps block data to TSV (cmd_query.go:346,371)
+        from .export import export_table
+        t.load_info()
+        export_table(t, flags)
+        print("EXPORTED RECORDS TO", os.path.join(t.dir, "export"))
 
     from .query.engine import run_query
     params = QueryParams.from_flags(flags)

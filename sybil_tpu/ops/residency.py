@@ -47,7 +47,8 @@ class DeviceColumnCache:
 
     def put(self, key, arrays):
         import jax
-        nbytes = sum(a.nbytes for a in jax.tree.leaves(arrays))
+        nbytes = sum(getattr(a, "nbytes", 0)
+                     for a in jax.tree.leaves(arrays))
         if key in self._lru:
             self.bytes -= self._lru[key][1]
         self._lru[key] = (arrays, nbytes)

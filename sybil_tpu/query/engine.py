@@ -278,13 +278,22 @@ class BatchLoader:
     HBM-resident column cache: each (block, column) lane uploads once and
     later scans only stack resident arrays (ops/residency.py)."""
 
-    def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int):
+    def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int,
+                 expected: dict[str, int] | None = None):
         self.bound = bound
         self.block_dirs = block_dirs
         self.C = C
+        # num_records per block as captured at query start; a column whose
+        # decoded length disagrees means the block was republished between
+        # the info read and the column load — skip it, mirroring the
+        # reference's "BLOCK SIZE CHANGED DURING QUERY" guard
+        # (column_store_io.go:525,572,592,734,751)
+        self.expected = expected or {}
+        self.changed: set[str] = set()
 
     def _resident_col(self, bdir: str, name: str, typ: int):
-        """-> (values[C], valid[C]) device arrays for one block column."""
+        """-> (values[C], valid[C], n_records) for one block column;
+        n_records is -1 when the block lacks the column file."""
         import jax.numpy as jnp
 
         from ..ops.residency import CACHE, block_col_key
@@ -293,22 +302,34 @@ class BatchLoader:
         key = block_col_key(bdir, blockio.column_file(typ, name), name, C)
         ent = CACHE.get(key)
         if ent is not None:
+            self._check_block(bdir, ent[2])
             return ent
         data = blockio.load_block_columns(bdir, self.bound.table.schema,
                                           [name]).get(name)
         values = np.zeros(C, dtype=np.int64)
         valid = np.zeros(C, dtype=bool)
+        ncol = -1
         if isinstance(data, blockio.IntColumnData):
-            n = min(len(data.values), C)
+            ncol = len(data.values)
+            n = min(ncol, C)
             values[:n] = data.values[:n]
             valid[:n] = data.valid[:n]
         elif isinstance(data, blockio.StrColumnData):
-            n = min(len(data.ids), C)
+            ncol = len(data.ids)
+            n = min(ncol, C)
             values[:n] = data.ids[:n]
             valid[:n] = data.valid[:n]
-        ent = (jnp.asarray(values), jnp.asarray(valid))
+        ent = (jnp.asarray(values), jnp.asarray(valid), ncol)
         CACHE.put(key, ent)
         return ent
+
+    def _check_block(self, bdir: str, ncol: int) -> None:
+        exp = self.expected.get(bdir)
+        if ncol >= 0 and exp is not None and ncol != exp:
+            if bdir not in self.changed:
+                warn("BLOCK SIZE CHANGED DURING QUERY", bdir,
+                     f"({exp} -> {ncol}); skipping block")
+            self.changed.add(bdir)
 
     def load(self):
         import jax.numpy as jnp
@@ -331,11 +352,16 @@ class BatchLoader:
         for bi, bdir in enumerate(self.block_dirs):
             info = blockio.load_block_info(bdir)
             n = min(info.num_records, C) if info else 0
+            exp = self.expected.get(bdir)
+            if info is not None and exp is not None and \
+                    info.num_records != exp:
+                self._check_block(bdir, info.num_records)
             nrec[bi] = n
             if set_cols and n:
                 data = blockio.load_block_columns(bdir, schema,
                                                   list(set_cols))
                 for name, cd in data.items():
+                    self._check_block(bdir, len(cd.offsets) - 1)
                     rows = np.repeat(np.arange(len(cd.offsets) - 1),
                                      np.diff(cd.offsets))
                     set_cols[name].append((rows + bi * C, cd.values))
@@ -354,11 +380,20 @@ class BatchLoader:
                 lanes = [self._resident_col(bdir, name, typ)
                          for bdir in self.block_dirs]
                 ent = (jnp.stack([e[0] for e in lanes]),
-                       jnp.stack([e[1] for e in lanes]))
+                       jnp.stack([e[1] for e in lanes]),
+                       tuple(e[2] for e in lanes))
                 import jax
-                jax.block_until_ready(ent)
+                jax.block_until_ready(ent[:2])
                 CACHE.put(batch_key, ent)
-            cols[name] = ent
+            for bdir, ncol in zip(self.block_dirs, ent[2]):
+                self._check_block(bdir, ncol)
+            cols[name] = (ent[0], ent[1])
+
+        if self.changed:
+            # zero out changed blocks so the kernel scans nothing from them
+            for bi, bdir in enumerate(self.block_dirs):
+                if bdir in self.changed:
+                    nrec[bi] = 0
         if not cols:
             # bare count(*) query: synthesize one lane so the kernel has a
             # shape to scan; row_in_range does the counting
@@ -441,15 +476,25 @@ def run_query(table: Table, params: QueryParams,
             packed, out, R, batch_dirs, nrec = pending.pop(0)
             if acc.absorb_packed(packed, out, R) > 0:
                 return False
+            acc.maybe_prune()
             if params.samples and \
                     len(acc.sample_rows) < max(params.limit, 1) * 4:
                 acc.collect_samples(out, batch_dirs, nrec, C)
             return True
 
+        def distinct_limit_hit() -> bool:
+            # distinct-limit early exit (table_query.go:263-279): stop
+            # scanning once the group count reaches -distinct-limit
+            return (params.num_distinct > 0
+                    and acc.num_group_rows() >= params.num_distinct)
+
+        expected = {d: infos[d].num_records for d in block_dirs}
         for start in range(0, len(block_dirs), B):
+            if distinct_limit_hit():
+                break
             batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
-            loader = BatchLoader(bound, batch_dirs, C)
+            loader = BatchLoader(bound, batch_dirs, C, expected)
             cols, nrec, set_aux = loader.load()
             nrec[len(batch):] = 0  # padded repeats contribute nothing
             jcols = {k: (jnp.asarray(v), jnp.asarray(m))
@@ -473,6 +518,9 @@ def run_query(table: Table, params: QueryParams,
                 spilled = True
                 break
         while not spilled and pending:
+            if distinct_limit_hit():
+                pending.clear()
+                break
             if not drain_one():
                 spilled = True
         if not spilled:
@@ -572,6 +620,60 @@ class _Accumulator:
         self.rows: dict[tuple, dict] = {}
         self.matched_count = 0
         self.sample_rows: list[dict] = []
+        self.batches = 0
+        # intermediate top-k pruning (CombineAndPrune/PruneResults,
+        # aggregate.go:347,469-471): cap at 10x limit, max 1000.  Like the
+        # reference — which only prunes when the merge fan-in is large
+        # (MultiCombineResults' >=4-specs-per-proc path) — pruning only
+        # engages once more than one batch contributed, so single-batch
+        # scans return exact results.
+        p = bound.params
+        self.prune_cap = 0
+        if p.prune_by and p.limit > 0:
+            self.prune_cap = min(p.limit * 10, 1000)
+
+    # ------------------------------------------------------------------
+    def _group_part(self, kt: tuple) -> tuple:
+        return kt[1:] if self.params.time_bucket > 0 else kt
+
+    def num_group_rows(self) -> int:
+        """Distinct group count (the reference's len(Results), used by the
+        distinct-limit early exit, table_query.go:263-279)."""
+        if self.params.time_bucket > 0:
+            return len({self._group_part(k) for k in self.rows})
+        return len(self.rows)
+
+    def _prune_score(self, rows_of_group: list[dict]):
+        p = self.params
+        if p.prune_by == SORT_COUNT or not p.prune_by:
+            return sum(r["count"] for r in rows_of_group)
+        # hist mean of the prune column (SortResultsByCol semantics)
+        for ai, a in enumerate(p.aggs):
+            if a.col == p.prune_by:
+                cnt = sum(r["aggs"][ai]["count"] for r in rows_of_group
+                          if r["aggs"][ai] is not None)
+                wv = sum(r["aggs"][ai]["wv"] for r in rows_of_group
+                         if r["aggs"][ai] is not None)
+                return wv / cnt if cnt else 0.0
+        return 0.0
+
+    def maybe_prune(self) -> None:
+        """Intermediate prune between batch merges: keep the top
+        prune_cap groups by the prune metric, drop the rest (their
+        partial counts are lost — the same approximation the reference
+        makes)."""
+        if not self.prune_cap or self.batches < 2:
+            return
+        if self.num_group_rows() <= self.prune_cap:
+            return
+        by_group: dict[tuple, list] = {}
+        for kt, row in self.rows.items():
+            by_group.setdefault(self._group_part(kt), []).append(row)
+        ranked = sorted(by_group, key=lambda g: self._prune_score(by_group[g]),
+                        reverse=True)
+        keep = set(ranked[: self.prune_cap])
+        self.rows = {kt: row for kt, row in self.rows.items()
+                     if self._group_part(kt) in keep}
 
     def absorb_packed(self, packed, out, R: int) -> int:
         """Parse the single packed download (ops/scan.py pack_outputs):
@@ -724,6 +826,7 @@ class _Accumulator:
                 nkall = config.n_all_keys
                 skeys = block[block[:, nkall] != 0, :nkall]
             self._absorb_distinct(skeys, K)
+        self.batches += 1
         return 0
 
     def _absorb_distinct(self, skeys: np.ndarray, nkeys: int) -> None:
@@ -762,7 +865,13 @@ class _Accumulator:
         matched = np.asarray(out["matched"])
         limit = max(self.params.limit, 1)
         schema = self.bound.table.schema
-        all_cols = sorted(schema.key_table)
+        if self.params.sample_cols:
+            # -sample-cols loads only the requested columns
+            # (cmd_query.go:142-146,196)
+            all_cols = [c for c in self.params.sample_cols
+                        if c in schema.key_table]
+        else:
+            all_cols = sorted(schema.key_table)
         for bi, bdir in enumerate(batch_dirs):
             if len(self.sample_rows) >= limit * 4 or nrec[bi] == 0:
                 continue

@@ -8,6 +8,11 @@ column, does time bucketing, updates hists via the exact
 add_weighted_value port, and feeds distinct values into the HLL.  The
 device engine (engine.py) must agree with this on every query shape.
 
+Binding is INDEPENDENT of the engine's BoundQuery: the oracle resolves
+column types, filter literals, regex bitsets, histogram layouts, and
+block pruning itself, so a bind-time bug in the engine cannot cancel out
+in engine-vs-oracle comparisons.
+
 Deliberately slow; never used on the production path.
 """
 
@@ -15,16 +20,17 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
-
 from .. import blocks as blockio
 from ..config import Flags
-from ..constants import (GROUP_DELIMITER, INT_VAL, SET_VAL, STR_VAL)
+from ..constants import GROUP_DELIMITER, INT_VAL, STR_VAL
+from ..debug import error
 from ..table import Table
-from .engine import MISSING_I64, QueryResults, BoundQuery
 from .hist import BasicHist, MultiHist
 from .hll import HLL
 from .spec import QueryParams, Result
+
+MISSING_I64 = -1
+SORT_COUNT = "$COUNT"
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -32,11 +38,100 @@ def _trunc_div(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
+class _OracleBinding:
+    """Self-contained resolution of a QueryParams against a table —
+    deliberately sharing no code with engine.BoundQuery."""
+
+    def __init__(self, table: Table, params: QueryParams, flags: Flags):
+        self.table = table
+        self.params = params
+        self.flags = flags
+        schema = table.schema
+        self._strings_cache: dict[str, list[str]] = {}
+
+        self.col_types: dict[str, int] = {}
+        cols = set(params.groups) | set(params.distincts)
+        cols |= {a.col for a in params.aggs}
+        cols |= {f.col for f in params.filters}
+        if params.time_bucket > 0:
+            cols.add(params.time_col)
+        if params.weight_col:
+            cols.add(params.weight_col)
+        for c in sorted(cols):
+            t = schema.col_type(c)
+            if t == 0:  # NO_VAL
+                error("oracle: unknown column", c)
+            self.col_types[c] = t
+        self.needed_cols = sorted(cols)
+
+        # filters: literal and regex resolution
+        self.filters = []
+        for f in params.filters:
+            if f.kind == "int":
+                self.filters.append((f, int(f.value), None))
+            elif f.op in ("re", "nre"):
+                rx = re.compile(f.value)
+                strings = self.strings(f.col)
+                bits = [rx.search(s) is not None for s in strings]
+                self.filters.append((f, 0, bits))
+            else:
+                # resolve eq/neq/in/nin literal against the dictionary
+                strings = self.strings(f.col)
+                try:
+                    gid = strings.index(f.value)
+                except ValueError:
+                    gid = -1
+                self.filters.append((f, gid, None))
+
+        # aggregation layouts straight from table-level IntInfo
+        self.agg_layouts = []
+        for a in params.aggs:
+            kid = schema.key_table[a.col]
+            info = schema.int_info.get(kid)
+            if info is None:
+                error("oracle: no int info for agg column", a.col)
+            self.agg_layouts.append((info, a.op == "hist", a.hist_type))
+
+    def strings(self, col: str) -> list[str]:
+        got = self._strings_cache.get(col)
+        if got is not None:
+            return got
+        strings = list(self.table.dicts.get(col).strings)
+        rep = self.params.str_replace.get(col)
+        if rep:
+            rx = re.compile(rep[0])
+            strings = [rx.sub(rep[1], s) for s in strings]
+        self._strings_cache[col] = strings
+        return strings
+
+    def should_scan_block(self, info) -> bool:
+        """Independent min/max pruning (table_block_io.go:110-182)."""
+        if not info.int_info:
+            return True
+        kt = self.table.schema.key_table
+        for f in self.params.filters:
+            if f.kind != "int" or f.op not in ("gt", "lt", "eq"):
+                continue
+            ii = info.int_info.get(kt.get(f.col))
+            if ii is None:
+                return False
+            v = int(f.value)
+            if f.op == "gt" and ii.max <= v:
+                return False
+            if f.op == "lt" and ii.min >= v:
+                return False
+            if f.op == "eq" and (ii.min > v or ii.max < v):
+                return False
+        return True
+
+
 def run_oracle(table: Table, params: QueryParams,
-               flags: Flags | None = None) -> QueryResults:
+               flags: Flags | None = None):
+    from .engine import QueryResults  # result container only
+
     flags = flags or table.flags
     table.load_info()
-    bound = BoundQuery(table, params, flags)  # reuse binding/validation
+    bound = _OracleBinding(table, params, flags)
     schema = table.schema
 
     weight_mode = bool(params.weight_col)
@@ -46,13 +141,6 @@ def run_oracle(table: Table, params: QueryParams,
     time_rows: dict[int, dict[tuple, Result]] = {}
     totals: dict[tuple, Result] = {}
     matched_count = 0
-    sample_rows = []
-
-    filters = []
-    for i, f in enumerate(params.filters):
-        fv = int(bound.filter_vals[i])
-        bits = bound.bitsets[f_bidx] if (f_bidx := _bidx(bound, i)) >= 0 else None
-        filters.append((f, fv, bits))
 
     for bdir in table.list_block_dirs():
         info = blockio.load_block_info(bdir)
@@ -63,7 +151,7 @@ def run_oracle(table: Table, params: QueryParams,
 
         for r in range(n):
             ok = True
-            for f, fv, bits in filters:
+            for f, fv, bits in bound.filters:
                 if not _apply_filter(data.get(f.col), r, f, fv, bits):
                     ok = False
                     break
@@ -144,17 +232,27 @@ def run_oracle(table: Table, params: QueryParams,
         cumulative.combine(res)
     qr.cumulative = cumulative
 
-    from .engine import _Accumulator
-    acc = _Accumulator(bound)
-    acc._sort(qr)
+    _sort(qr, params)
     return qr
 
 
-def _bidx(bound, i):
-    return bound.config.filters[i].bitset_idx
+def _sort(qr, params: QueryParams) -> None:
+    """Independent SortResults port (aggregate.go:497-525)."""
+    if not params.order_by:
+        return
+
+    def sort_key(r: Result):
+        if params.order_by == SORT_COUNT:
+            return r.count
+        h = r.hists.get(params.order_by)
+        return h.mean() if h else 0.0
+
+    qr.sorted = sorted(qr.results.values(), key=sort_key, reverse=True)
+    if params.order_asc:
+        qr.sorted.reverse()
 
 
-def _new_result(key, bound) -> Result:
+def _new_result(key, bound: _OracleBinding) -> Result:
     res = Result()
     res.key_tuple = key
     params = bound.params
@@ -166,7 +264,7 @@ def _new_result(key, bound) -> Result:
             if v == MISSING_I64:
                 parts.append("")
             elif bound.col_types[col] == STR_VAL:
-                strings = bound._strings(col)
+                strings = bound.strings(col)
                 parts.append(strings[v] if 0 <= v < len(strings) else "")
             else:
                 parts.append(str(v))
@@ -202,7 +300,7 @@ def _apply_filter(cd, r, f, fv, bits) -> bool:
     return False
 
 
-def _distinct_bytes(params, bound, data, r) -> bytes:
+def _distinct_bytes(params, bound: _OracleBinding, data, r) -> bytes:
     int_only = all(bound.col_types[d] == INT_VAL for d in params.distincts)
     if int_only:
         out = b""
@@ -220,7 +318,7 @@ def _distinct_bytes(params, bound, data, r) -> bytes:
         if cd is None or not cd.valid[r]:
             parts.append("")
         elif bound.col_types[d] == STR_VAL:
-            parts.append(bound._strings(d)[int(cd.ids[r])])
+            parts.append(bound.strings(d)[int(cd.ids[r])])
         else:
             parts.append(str(int(cd.values[r])))
     return (GROUP_DELIMITER.join(parts) + GROUP_DELIMITER).encode()

@@ -46,6 +46,7 @@ class QueryParams:
     weight_col: str = ""
     hist_bucket: int = 0       # -int-bucket override
     samples: bool = False
+    sample_cols: tuple[str, ...] = ()   # -sample-cols restriction
     str_replace: dict = field(default_factory=dict)
 
     def cache_key(self) -> str:
@@ -57,6 +58,7 @@ class QueryParams:
             "limit": self.limit, "num_distinct": self.num_distinct,
             "time_bucket": self.time_bucket, "time_col": self.time_col,
             "weight_col": self.weight_col, "hist_bucket": self.hist_bucket,
+            "sample_cols": self.sample_cols,
             "str_replace": self.str_replace,
         }, sort_keys=True, default=list)
         return hashlib.md5(payload.encode()).hexdigest()
@@ -104,6 +106,7 @@ class QueryParams:
             time_bucket=flags.time_bucket if flags.time else 0,
             time_col=flags.time_col, weight_col=flags.weight_col,
             hist_bucket=flags.hist_bucket, samples=flags.samples,
+            sample_cols=tuple(flags.split_list(flags.sample_cols)),
             str_replace=replace,
         )
 

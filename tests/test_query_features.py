@@ -1,0 +1,212 @@
+"""Round-2 query features: intermediate top-k pruning (prune_by),
+distinct-limit early exit, sample-cols restriction, the mid-query
+"BLOCK SIZE CHANGED" consistency guard, and TSV export.
+
+Reference behaviors: CombineAndPrune/PruneResults (aggregate.go:347,
+469-525), distinct-limit (table_query.go:263-279), -sample-cols
+(cmd_query.go:142-146), block consistency guards
+(column_store_io.go:525; tests table_query_test.go:11-84),
+ExportBlockData (table_block_io.go:356-398).
+"""
+
+import gzip
+import os
+import random
+
+import numpy as np
+import pytest
+
+from sybil_tpu import blocks
+from sybil_tpu.config import Flags
+from sybil_tpu.digest import digest_records
+from sybil_tpu.ingest import flatten_record
+from sybil_tpu.query.engine import run_query
+from sybil_tpu.query.oracle import run_oracle
+from sybil_tpu.query.spec import AggDef, FilterDef, QueryParams
+from sybil_tpu.table import Table
+
+
+def make_skewed_table(flags, n_uids=400, chunk=512, seed=3):
+    """Zipf-ish uid distribution spread over many blocks."""
+    import sybil_tpu.digest as dg
+    rng = random.Random(seed)
+    rows = []
+    # heavy hitters with unambiguous top-3 margins
+    for uid, cnt in ((0, 1200), (1, 800), (2, 500)):
+        rows += [uid] * cnt
+    for uid in range(3, n_uids):
+        rows += [uid] * rng.randint(3, 8)
+    rng.shuffle(rows)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = chunk
+    try:
+        t = Table(flags.table, flags)
+        recs = [flatten_record({"uid": uid, "v": i % 97, "time": 0})
+                for i, uid in enumerate(rows)]
+        for start in range(0, len(recs), 2000):
+            t.ingest_records(recs[start: start + 2000])
+            digest_records(t)
+        return t, len(rows)
+    finally:
+        dg.CHUNK_SIZE = old
+
+
+def test_prune_intermediate_topk(tmp_table):
+    tmp_table.device_batch = 2
+    t, total = make_skewed_table(tmp_table)
+    params = QueryParams(groups=("uid",), limit=3, prune_by="$COUNT")
+    qr = run_query(t, params, tmp_table)
+    oracle = run_oracle(t, QueryParams(groups=("uid",), prune_by=""),
+                        tmp_table)
+
+    # pruned to <= 10*limit (capped at 1000)
+    assert len(qr.results) <= 30
+    assert len(oracle.results) > 30
+
+    def top(results, k):
+        return [r.key_tuple for r in sorted(results.values(),
+                                            key=lambda r: -r.count)[:k]]
+
+    etop, otop = top(qr.results, 3), top(oracle.results, 3)
+    assert etop == otop == [(0,), (1,), (2,)]
+    for e, o in zip(etop, otop):
+        ek = [r for r in qr.results.values() if r.key_tuple == e][0]
+        ok = [r for r in oracle.results.values() if r.key_tuple == o][0]
+        assert ek.count == ok.count  # surviving groups keep exact counts
+
+
+def test_prune_disabled_exact(tmp_table):
+    tmp_table.device_batch = 2
+    t, total = make_skewed_table(tmp_table)
+    params = QueryParams(groups=("uid",), prune_by="")
+    qr = run_query(t, params, tmp_table)
+    oracle = run_oracle(t, params, tmp_table)
+    assert {r.key_tuple: r.count for r in qr.results.values()} == \
+        {r.key_tuple: r.count for r in oracle.results.values()}
+    assert sum(r.count for r in qr.results.values()) == total
+
+
+def test_prune_by_agg_mean(tmp_table):
+    """prune_by an int column ranks by its mean (SortResultsByCol)."""
+    tmp_table.device_batch = 2
+    import sybil_tpu.digest as dg
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 512
+    try:
+        t = Table(tmp_table.table, tmp_table)
+        recs = []
+        rng = random.Random(7)
+        # 60 uids; uid k has v ~ k*10 => mean ranking is by uid desc
+        rows = [(uid, uid * 10 + rng.randint(0, 3))
+                for uid in range(60) for _ in range(40)]
+        rng.shuffle(rows)
+        recs = [flatten_record({"uid": u, "v": v, "time": 0})
+                for u, v in rows]
+        for start in range(0, len(recs), 1200):
+            t.ingest_records(recs[start: start + 1200])
+            digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    params = QueryParams(groups=("uid",), aggs=(AggDef("v", "avg"),),
+                         limit=2, prune_by="v")
+    qr = run_query(t, params, tmp_table)
+    assert len(qr.results) <= 20
+    kept = {r.key_tuple[0] for r in qr.results.values()}
+    # the highest-mean uids must survive pruning
+    assert {59, 58, 57, 56, 55} <= kept
+
+
+def test_distinct_limit_early_exit(tmp_table):
+    """Block-sorted uids: the engine must stop scanning once the group
+    count reaches -distinct-limit instead of visiting every block."""
+    import sybil_tpu.digest as dg
+    tmp_table.device_batch = 1
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 512
+    try:
+        t = Table(tmp_table.table, tmp_table)
+        n = 4096
+        recs = [flatten_record({"uid": i // 512, "time": i}) for i in range(n)]
+        for start in range(0, n, 2048):
+            t.ingest_records(recs[start: start + 2048])
+            digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    assert len(t.list_block_dirs()) == 8
+
+    full = run_query(t, QueryParams(groups=("uid",)), tmp_table)
+    assert len(full.results) == 8
+
+    qr = run_query(t, QueryParams(groups=("uid",), num_distinct=2),
+                   tmp_table)
+    assert 2 <= len(qr.results) < 8
+
+
+def test_sample_cols(tmp_table):
+    t = Table(tmp_table.table, tmp_table)
+    recs = [flatten_record({"host": f"h{i % 3}", "ping": i, "extra": i * 2,
+                            "time": i}) for i in range(100)]
+    t.ingest_records(recs)
+    digest_records(t)
+
+    qr = run_query(t, QueryParams(samples=True, limit=5), tmp_table)
+    assert qr.samples and any("extra" in s for s in qr.samples)
+
+    qr = run_query(t, QueryParams(samples=True, limit=5,
+                                  sample_cols=("host", "ping")), tmp_table)
+    assert qr.samples
+    for s in qr.samples:
+        assert set(s) <= {"host", "ping"}
+
+
+def test_block_size_changed_guard(tmp_table, monkeypatch):
+    """A block whose on-disk record count disagrees with the info
+    snapshot taken at query start must be skipped, not mis-scanned —
+    both on fresh column loads and on residency-cache hits."""
+    t = Table(tmp_table.table, tmp_table)
+    recs = [flatten_record({"uid": i % 5, "v": i, "time": i})
+            for i in range(600)]
+    t.ingest_records(recs)
+    digest_records(t)
+
+    params = QueryParams(groups=("uid",))
+    qr = run_query(t, params, tmp_table)
+    assert sum(r.count for r in qr.results.values()) == 600
+
+    # simulate the race: the info snapshot is stale (block republished
+    # with more records between info read and column load)
+    real = t.block_infos()
+    stale = {d: blocks.BlockInfo(i.num_records - 7, i.int_info, i.str_info)
+             for d, i in real.items()}
+    monkeypatch.setattr(Table, "block_infos", lambda self: stale)
+
+    # cache-hit path (lanes resident from the first query)
+    qr = run_query(t, params, tmp_table)
+    assert sum(r.count for r in qr.results.values()) == 0
+
+    # fresh-load path
+    from sybil_tpu.ops.residency import CACHE
+    CACHE.clear()
+    qr = run_query(t, params, tmp_table)
+    assert sum(r.count for r in qr.results.values()) == 0
+
+
+def test_export_tsv(tmp_table):
+    from sybil_tpu.export import export_table
+    t = Table(tmp_table.table, tmp_table)
+    recs = [flatten_record({"host": f"h{i % 3}", "ping": i, "time": i})
+            for i in range(50)]
+    t.ingest_records(recs)
+    digest_records(t)
+    t.load_info()
+
+    paths = export_table(t)
+    assert paths and all(p.endswith(".tsv.gz") for p in paths)
+    with gzip.open(paths[0], "rt") as f:
+        lines = f.read().splitlines()
+    header = lines[0].split("\t")
+    assert set(header) == {"ping", "time", "host"}
+    assert len(lines) - 1 == 50
+    row = dict(zip(header, lines[1].split("\t")))
+    assert row["host"].startswith("h")
+    assert int(row["ping"]) == int(row["time"])
