@@ -24,10 +24,17 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("-dir", "--dir", default="./db/")
     p.add_argument("-table", "--table", default="")
     p.add_argument("-debug", "--debug", action="store_true")
+    # -profile captures a jax.profiler device/host trace, the TPU-native
+    # equivalent of the reference's pprof build-tag profiler
+    # (profiler_enable.go:28-31, config.go:171-174)
+    p.add_argument("-profile", "--profile", action="store_true")
+    p.add_argument("-profile-dir", "--profile-dir", default="./profile")
 
 
 def _base_flags(args) -> Flags:
-    flags = Flags(dir=args.dir, table=args.table, debug=args.debug)
+    flags = Flags(dir=args.dir, table=args.table, debug=args.debug,
+                  profile=getattr(args, "profile", False),
+                  profile_dir=getattr(args, "profile_dir", "./profile"))
     if args.debug:
         dbg.DEBUG_FLAG = True
     return flags
@@ -82,8 +89,10 @@ def cmd_digest(argv):
         p.print_help()
         return 1
     from .digest import digest_records
+    from .profiler import device_trace
     t = Table(flags.table, flags)
-    digest_records(t)
+    with device_trace(flags.profile_dir if flags.profile else None):
+        digest_records(t)
     return 0
 
 
@@ -229,9 +238,11 @@ def run_query_flags(flags: Flags) -> int:
         export_table(t, flags)
         print("EXPORTED RECORDS TO", os.path.join(t.dir, "export"))
 
+    from .profiler import device_trace
     from .query.engine import run_query
     params = QueryParams.from_flags(flags)
-    qr = run_query(t, params, flags)
+    with device_trace(flags.profile_dir if flags.profile else None):
+        qr = run_query(t, params, flags)
 
     if flags.samples:
         printer.print_samples(qr.samples, params, flags)

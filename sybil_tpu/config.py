@@ -68,6 +68,8 @@ class Flags:
     skip_outliers: bool = True
     update_table_info: bool = False
     debug: bool = False
+    profile: bool = False            # jax.profiler trace capture
+    profile_dir: str = "./profile"
 
     field_separator: str = ","
     filter_separator: str = ":"

@@ -423,15 +423,20 @@ def run_query(table: Table, params: QueryParams,
 
     from ..ops.scan import SENTINEL, scan_batch
 
-    flags = flags or table.flags
-    if not table.load_info() and not table.exists():
-        error("table", table.name, "can not be loaded or does not exist in",
-              flags.dir)
-    bound = BoundQuery(table, params, flags)
+    from ..profiler import PhaseTimer
+    timer = PhaseTimer()
 
-    infos = table.block_infos()
-    block_dirs = [d for d, info in infos.items()
-                  if bound.should_scan_block(info)]
+    flags = flags or table.flags
+    with timer.phase("bind"):
+        if not table.load_info() and not table.exists():
+            error("table", table.name,
+                  "can not be loaded or does not exist in", flags.dir)
+        bound = BoundQuery(table, params, flags)
+
+    with timer.phase("list_blocks"):
+        infos = table.block_infos()
+        block_dirs = [d for d, info in infos.items()
+                      if bound.should_scan_block(info)]
     skipped = len(infos) - len(block_dirs)
     if skipped:
         debug("skipped", skipped, "blocks via min/max pruning")
@@ -439,10 +444,12 @@ def run_query(table: Table, params: QueryParams,
     cache_k = None
     if flags.cache_queries and not params.samples and not flags.read_log:
         from . import cache as qcache
-        cache_k = qcache.cache_key(params, table, block_dirs, infos)
-        cached = qcache.load_cached_results(table, cache_k)
+        with timer.phase("cache_probe"):
+            cache_k = qcache.cache_key(params, table, block_dirs, infos)
+            cached = qcache.load_cached_results(table, cache_k)
         if cached is not None:
             sort_results(cached, params)
+            timer.report("query(cached)")
             return cached
 
     maxrec = max((infos[d].num_records for d in block_dirs), default=0)
@@ -494,34 +501,41 @@ def run_query(table: Table, params: QueryParams,
                 break
             batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
-            loader = BatchLoader(bound, batch_dirs, C, expected)
-            cols, nrec, set_aux = loader.load()
+            with timer.phase("load"):
+                loader = BatchLoader(bound, batch_dirs, C, expected)
+                cols, nrec, set_aux = loader.load()
             nrec[len(batch):] = 0  # padded repeats contribute nothing
-            jcols = {k: (jnp.asarray(v), jnp.asarray(m))
-                     for k, (v, m) in cols.items()}
-            jnrec = jnp.asarray(nrec)
-            R = B * C
-            if mesh is not None:
-                from ..ops.scan import pack_jit
-                from ..parallel.mesh import sharded_scan
-                out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv,
-                                   jbits, jtb)
-                packed = pack_jit(bound.config, out, R)
-            else:
-                from ..ops.scan import scan_packed_jit
-                packed, out = scan_packed_jit(
-                    bound.config, jcols, jnrec, jfv, jbits, jtb,
-                    {k: (jnp.asarray(r), jnp.asarray(v))
-                     for k, (r, v) in set_aux.items()})
+            with timer.phase("dispatch"):
+                jcols = {k: (jnp.asarray(v), jnp.asarray(m))
+                         for k, (v, m) in cols.items()}
+                jnrec = jnp.asarray(nrec)
+                R = B * C
+                if mesh is not None:
+                    from ..ops.scan import pack_jit
+                    from ..parallel.mesh import sharded_scan
+                    out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv,
+                                       jbits, jtb)
+                    packed = pack_jit(bound.config, out, R)
+                else:
+                    from ..ops.scan import scan_packed_jit
+                    packed, out = scan_packed_jit(
+                        bound.config, jcols, jnrec, jfv, jbits, jtb,
+                        {k: (jnp.asarray(r), jnp.asarray(v))
+                         for k, (r, v) in set_aux.items()})
             pending.append((packed, out, R, batch_dirs, nrec))
-            if len(pending) >= PIPELINE and not drain_one():
-                spilled = True
-                break
+            if len(pending) >= PIPELINE:
+                with timer.phase("drain"):
+                    ok = drain_one()
+                if not ok:
+                    spilled = True
+                    break
         while not spilled and pending:
             if distinct_limit_hit():
                 pending.clear()
                 break
-            if not drain_one():
+            with timer.phase("drain"):
+                ok = drain_one()
+            if not ok:
                 spilled = True
         if not spilled:
             break
@@ -532,12 +546,16 @@ def run_query(table: Table, params: QueryParams,
         pending.clear()
 
     if flags.read_log:
-        _scan_rowstore(acc, bound, table, params, flags)
+        with timer.phase("rowstore"):
+            _scan_rowstore(acc, bound, table, params, flags)
 
-    qr = acc.finish()
+    with timer.phase("finish"):
+        qr = acc.finish()
     if cache_k is not None:
         from . import cache as qcache
-        qcache.save_cached_results(table, cache_k, qr, params)
+        with timer.phase("cache_save"):
+            qcache.save_cached_results(table, cache_k, qr, params)
+    timer.report("query")
     return qr
 
 

@@ -210,3 +210,23 @@ def test_export_tsv(tmp_table):
     row = dict(zip(header, lines[1].split("\t")))
     assert row["host"].startswith("h")
     assert int(row["ping"]) == int(row["time"])
+
+
+def test_phase_timing_report(tmp_table, capfd):
+    """-debug prints a per-phase wall-time breakdown (DEBUG_TIMING
+    equivalent, table_query.go:155-161)."""
+    import sybil_tpu.debug as dbg
+    t = Table(tmp_table.table, tmp_table)
+    t.ingest_records([flatten_record({"uid": i % 3, "time": i})
+                      for i in range(100)])
+    digest_records(t)
+    old = dbg.DEBUG_FLAG
+    dbg.DEBUG_FLAG = True
+    try:
+        run_query(t, QueryParams(groups=("uid",)), tmp_table)
+    finally:
+        dbg.DEBUG_FLAG = old
+    err = capfd.readouterr().err
+    assert "QUERY TIMING wall" in err
+    for phase in ("bind", "load", "dispatch", "drain", "finish"):
+        assert phase in err
