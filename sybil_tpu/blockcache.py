@@ -37,10 +37,32 @@ def _cache_files(table_dir: str) -> list[str]:
             if f.startswith("blocks_") and f.endswith(".json.gz")]
 
 
+# in-process memo keyed by the cache files' identity: repeated queries in
+# a resident process skip re-parsing ~2 MB of gz JSON per query; any
+# appended/removed cache file changes the fingerprint and invalidates
+_MEMO: dict[str, tuple[tuple, dict]] = {}
+
+
+def _fingerprint(paths: list[str]) -> tuple:
+    out = []
+    for p in sorted(paths):
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
 def load(table_dir: str) -> dict[str, BlockInfo]:
     """All cached block infos, keyed by block name."""
+    paths = _cache_files(table_dir)
+    fp = _fingerprint(paths)
+    memo = _MEMO.get(table_dir)
+    if memo is not None and memo[0] == fp:
+        return memo[1]
     out: dict[str, BlockInfo] = {}
-    for path in _cache_files(table_dir):
+    for path in paths:
         try:
             with gzip.open(path, "rt") as f:
                 batch = json.load(f)
@@ -52,6 +74,7 @@ def load(table_dir: str) -> dict[str, BlockInfo]:
                 os.unlink(path)
             except OSError:
                 pass
+    _MEMO[table_dir] = (fp, out)
     return out
 
 

@@ -62,6 +62,33 @@ class DeviceColumnCache:
 
 CACHE = DeviceColumnCache()
 
+# Small device-resident constants (filter literals, time-bucket scalars,
+# per-batch record counts, regex bitsets).  Every host->device upload on
+# the tunneled transport costs a full ~30ms round trip, so re-uploading
+# a 16-byte array per query dominates warm-query latency; content-keyed
+# caching makes repeat queries upload nothing at all.
+_CONST_MAX_BYTES = 1 << 20
+_CONST: "OrderedDict[tuple, object]" = OrderedDict()
+_CONST_CAP = 4096
+
+
+def device_const(arr) -> object:
+    import jax.numpy as jnp
+    import numpy as np
+    a = np.asarray(arr)
+    if a.nbytes > _CONST_MAX_BYTES:
+        return jnp.asarray(a)
+    key = (a.dtype.str, a.shape, a.tobytes())
+    ent = _CONST.get(key)
+    if ent is None:
+        ent = jnp.asarray(a)
+        _CONST[key] = ent
+        if len(_CONST) > _CONST_CAP:
+            _CONST.popitem(last=False)
+    else:
+        _CONST.move_to_end(key)
+    return ent
+
 
 def block_col_key(bdir: str, col_file: str, col: str, C: int) -> tuple:
     path = os.path.join(bdir, col_file)

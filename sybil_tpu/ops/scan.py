@@ -161,11 +161,14 @@ def _trunc_div(x, d):
 
 def _nibbles(lanes):
     """int64 [R, L] -> exact 4-bit limbs as int8 [R, L*16] (two's
-    complement: recombining mod 2^64 restores the signed value)."""
+    complement: recombining mod 2^64 restores the signed value).
+    Derived from the byte bitcast — uint8 shifts are VPU-native, while
+    64-bit shifts are emulated multi-pass ops that dominate runtime."""
     R, L = lanes.shape
-    u = lanes.astype(jnp.uint64)
-    sh = (jnp.arange(NIBBLES, dtype=jnp.uint64) * 4)
-    nib = (u[:, :, None] >> sh[None, None, :]) & jnp.uint64(0xF)
+    b = jax.lax.bitcast_convert_type(lanes, jnp.uint8)   # [R, L, 8] LE
+    lo = b & jnp.uint8(0xF)
+    hi = b >> jnp.uint8(4)
+    nib = jnp.stack([lo, hi], axis=-1)                   # [R, L, 8, 2]
     return nib.astype(jnp.int8).reshape(R, L * NIBBLES)
 
 
@@ -174,6 +177,27 @@ def _recombine(acc, L):
     S = acc.shape[0]
     u = acc.astype(jnp.uint64).reshape(S, L, NIBBLES)
     sh = (jnp.arange(NIBBLES, dtype=jnp.uint64) * 4)
+    return jnp.sum(u << sh[None, None, :], axis=-1).astype(jnp.int64)
+
+
+LIMBS8 = 8
+
+
+def _limbs8(lanes):
+    """int64 [R, L] -> exact byte limbs uint8 [R, L*8], a pure bitcast
+    (little-endian).  Byte entries are exact in bf16, so one-hot x limb
+    dots run on the MXU in its native bf16 x bf16 -> f32 mode; a chunk's
+    partial sums stay exact as long as chunk_rows * 255 < 2^24."""
+    R, L = lanes.shape
+    return jax.lax.bitcast_convert_type(lanes, jnp.uint8).reshape(
+        R, L * LIMBS8)
+
+
+def _recombine8(acc, L):
+    """int64 byte-limb sums [S, L*8] -> exact int64 [S, L] mod 2^64."""
+    S = acc.shape[0]
+    u = acc.astype(jnp.uint64).reshape(S, L, LIMBS8)
+    sh = (jnp.arange(LIMBS8, dtype=jnp.uint64) * 8)
     return jnp.sum(u << sh[None, None, :], axis=-1).astype(jnp.int64)
 
 
@@ -380,67 +404,85 @@ def _dense_decode_keys(config: ScanConfig, time_bucket):
     return jnp.stack(cols, axis=1)     # [slots, K]
 
 
-def _matmul_segsum(gid, lanes64, slots):
-    """Exact int64 segment sums on the MXU: one-hot[chunk, slots] int8 @
-    nibble-lanes[chunk, L*16] int8 -> int32, chunk partials accumulated
-    in int64, nibbles recombined mod 2^64."""
+def _dense_reduce(gid, lanes64, minmax_vs, slots):
+    """One fused chunked pass over the rows computing
+      - exact int64 segment sums of all nibble lanes on the MXU, and
+      - per-slot min/max for every aggregation value lane.
+
+    The dot runs bf16 x bf16 -> f32: that is the TPU MXU's native mode
+    (int8 dots lower to slow vector loops).  It stays EXACT because
+    one-hot entries are 0/1 and nibble entries are 0..15 — both exactly
+    representable in bf16 — and a chunk's partial sums are bounded by
+    ch*15 <= 2^19*15 < 2^24, inside f32's exact-integer range; chunk
+    partials then accumulate in int64 and nibbles recombine mod 2^64.
+
+    minmax_vs: list of (v int64[R], keep bool[R], f32_ok) — f32_ok is
+    static (derived from the agg's discard bounds at bind time): when
+    |v| < 2^24 the masked min/max reduce runs in f32 on the VPU, half
+    the traffic of int64; otherwise it falls back to exact int64."""
     R, L = lanes64.shape
-    nib = _nibbles(lanes64)                      # [R, L*16] int8
-    # chunk rows so the one-hot temp stays <= ~32 MB
-    ch = max(_LANE, min(R, (1 << 25) // max(slots, 1)))
+    A = len(minmax_vs)
+    nib = _limbs8(lanes64)                       # [R, L*8] uint8, bitcast
+    # chunk rows: the one-hot temp stays small AND ch*255 < 2^24 so the
+    # f32 MXU accumulation of byte limbs is exact (65536*255 < 2^24)
+    ch = max(_LANE, min(R, (1 << 25) // max(slots, 1), 1 << 16))
     ch = 1 << (ch.bit_length() - 1)              # power of two
     nchunk = -(-R // ch)
     iot = jnp.arange(slots, dtype=jnp.int32)[None, :]
     rix = jnp.arange(ch, dtype=jnp.int32)
 
-    def body(c, acc):
+    if A:
+        vmat = jnp.stack([v for v, _, _ in minmax_vs], axis=1)   # [R, A]
+        kmat = jnp.stack([k for _, k, _ in minmax_vs], axis=1)   # [R, A]
+    all_f32 = all(ok for _, _, ok in minmax_vs) if A else True
+
+    # materialize the loop inputs: without the barrier XLA fuses their
+    # producer chains into the loop body's dynamic_slices and recomputes
+    # the ENTIRE front end once per chunk — a ~30x slowdown
+    if A:
+        gid, nib, vmat, kmat = jax.lax.optimization_barrier(
+            (gid, nib, vmat, kmat))
+    else:
+        gid, nib = jax.lax.optimization_barrier((gid, nib))
+
+    BIG = jnp.float32(3.0e38) if all_f32 else jnp.int64(2**62)
+    mdt = jnp.float32 if all_f32 else jnp.int64
+
+    def body(c, state):
+        acc, mn, mx = state
         start = jnp.minimum(c * ch, R - ch)
         gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
-        sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, L * NIBBLES))
+        sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, L * LIMBS8))
         fresh = (start + rix) >= c * ch          # clamp-overlap mask
-        oh = ((gs[:, None] == iot) & fresh[:, None]).astype(jnp.int8)
-        d = jax.lax.dot_general(oh, sl, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return acc + d.astype(jnp.int64)
+        hit = (gs[:, None] == iot) & fresh[:, None]          # [ch, slots]
+        oh = hit.astype(jnp.bfloat16)
+        d = jax.lax.dot_general(oh, sl.astype(jnp.bfloat16),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = acc + d.astype(jnp.int64)
+        if A:
+            vs = jax.lax.dynamic_slice(vmat, (start, 0), (ch, A)).astype(mdt)
+            ks = jax.lax.dynamic_slice(kmat, (start, 0), (ch, A))
+            for a in range(A):
+                h = hit & ks[:, a][:, None]
+                mn = mn.at[:, a].min(jnp.min(
+                    jnp.where(h, vs[:, a][:, None], BIG), axis=0))
+                mx = mx.at[:, a].max(jnp.max(
+                    jnp.where(h, vs[:, a][:, None], -BIG), axis=0))
+        return acc, mn, mx
 
-    acc = jax.lax.fori_loop(
-        0, nchunk, body, jnp.zeros((slots, L * NIBBLES), jnp.int64))
-    return _recombine(acc, L)                    # [slots, L]
-
-
-def _dense_minmax(gid, v, keep, slots):
-    """Per-slot min/max of an int64 value lane.  Small slot counts use a
-    chunked masked broadcast reduce; larger ones one scatter-min/max."""
-    if slots <= 1024:
-        R = v.shape[0]
-        ch = max(_LANE, min(R, (1 << 22) // slots))
-        ch = 1 << (ch.bit_length() - 1)
-        nchunk = -(-R // ch)
-        iot = jnp.arange(slots, dtype=jnp.int32)[None, :]
-        rix = jnp.arange(ch, dtype=jnp.int32)
-
-        def body(c, mm):
-            mn, mx = mm
-            start = jnp.minimum(c * ch, R - ch)
-            gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
-            vs = jax.lax.dynamic_slice(v, (start,), (ch,))
-            ks = jax.lax.dynamic_slice(keep, (start,), (ch,))
-            fresh = (start + rix) >= c * ch
-            hit = (gs[:, None] == iot) & (ks & fresh)[:, None]
-            mn = jnp.minimum(mn, jnp.min(
-                jnp.where(hit, vs[:, None], jnp.int64(2**62)), axis=0))
-            mx = jnp.maximum(mx, jnp.max(
-                jnp.where(hit, vs[:, None], jnp.int64(-2**62)), axis=0))
-            return mn, mx
-
-        return jax.lax.fori_loop(
-            0, nchunk, body,
-            (jnp.full((slots,), 2**62, jnp.int64),
-             jnp.full((slots,), -2**62, jnp.int64)))
-    cg = jnp.where(keep, gid, slots)
-    mn = jnp.full((slots + 1,), 2**62, jnp.int64).at[cg].min(v)[:slots]
-    mx = jnp.full((slots + 1,), -2**62, jnp.int64).at[cg].max(v)[:slots]
-    return mn, mx
+    acc, mn, mx = jax.lax.fori_loop(
+        0, nchunk, body,
+        (jnp.zeros((slots, L * LIMBS8), jnp.int64),
+         jnp.full((slots, max(A, 1)), BIG, mdt),
+         jnp.full((slots, max(A, 1)), -BIG, mdt)))
+    sums = _recombine8(acc, L)                   # [slots, L]
+    if A and all_f32:
+        # f32 path: values were exact integers, so the cast back is exact;
+        # empty slots read +/-BIG which the caller masks via exists/count
+        mn = jnp.where(mn >= BIG, jnp.float32(2.0**62), mn).astype(jnp.int64)
+        mx = jnp.where(mx <= -BIG, -jnp.float32(2.0**62), mx).astype(jnp.int64)
+    return sums, mn, mx
 
 
 def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
@@ -450,7 +492,11 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     slots = config.dense_slots
     gid, spill = _dense_gid(config, keys, matched, time_bucket)
     lanes64, per_agg = _agg_row_data(config, cols, flat, matched, weight)
-    sums = _matmul_segsum(gid, lanes64, slots)   # [slots, 2+3A]
+    minmax_vs = []
+    for agg, (v, keep) in zip(config.aggs, per_agg):
+        f32_ok = max(abs(agg.discard_min), abs(agg.discard_max)) < (1 << 24)
+        minmax_vs.append((v, keep, f32_ok))
+    sums, mns, mxs = _dense_reduce(gid, lanes64, minmax_vs, slots)
     # the dead slot must read as empty
     live_row = jnp.arange(slots) < slots - 1
     count = jnp.where(live_row, sums[:, 0], 0)
@@ -473,9 +519,8 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         out[f"agg{ai}_exists"] = sums[:, 2 + 3 * ai] > 0
         out[f"agg{ai}_count"] = sums[:, 3 + 3 * ai]
         out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
-        mn, mx = _dense_minmax(gid, v, keep, slots)
-        out[f"agg{ai}_min"] = mn
-        out[f"agg{ai}_max"] = mx
+        out[f"agg{ai}_min"] = mns[:, ai]
+        out[f"agg{ai}_max"] = mxs[:, ai]
         if agg.num_values > 0:
             bv, inrange, is_out, nv = _hist_bucket(agg, v)
             hcontrib = keep & inrange
@@ -656,19 +701,64 @@ def table_prefix(config: ScanConfig) -> int:
     return min(config.prefix_rows, config.max_groups)
 
 
+def packed_layout(config: ScanConfig, R: int) -> dict:
+    """Row offsets of every section inside the ONE packed download
+    buffer.  Shared by pack_outputs (writer) and the engine accumulator
+    (reader) so the layout math lives in exactly one place.
+
+    Order: meta | group-table prefix | per-hist-agg outlier rows |
+    distinct-pair rows | dense hist gids | per-hist-agg bucket matrices
+    (flattened row-major, padded to the buffer width)."""
+    W = main_width(config)
+    P = table_prefix(config)
+    hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
+    layout = {"W": W, "meta": (0, 1), "table": (1, P)}
+    off = 1 + P
+    if config.track_outliers and hist_ais:
+        kmax = min(config.max_out, R)
+        layout["kmax_out"] = kmax
+        for ai in hist_ais:
+            layout[f"out{ai}"] = (off, kmax)
+            off += kmax
+    if config.distinct_cols:
+        kmax = min(config.max_pairs, R)
+        layout["kmax_pairs"] = kmax
+        layout["pairs"] = (off, kmax)
+        off += kmax
+    if hist_ais:
+        Ph = min(config.hist_prefix, config.hist_slots)
+        layout["Ph"] = Ph
+        if config.strategy == "dense":
+            rows = -(-Ph // W)
+            layout["hist_gids"] = (off, rows)
+            off += rows
+        for ai in hist_ais:
+            rows = -(-(Ph * config.aggs[ai].num_values) // W)
+            layout[f"hist{ai}"] = (off, rows)
+            off += rows
+    layout["rows"] = off
+    return layout
+
+
 def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     K = config.n_key_cols
     A = len(config.aggs)
     D = len(config.distinct_cols)
-    S = config.table_slots
+    layout = packed_layout(config, R)
     P = table_prefix(config)
-    W = main_width(config)
+    W = layout["W"]
 
     def pad_to(arr2d, width):
         pad = width - arr2d.shape[1]
         if pad <= 0:
             return arr2d
         return jnp.pad(arr2d, ((0, 0), (0, pad)))
+
+    def flat_rows(arr, rows):
+        """Flatten to [rows, W] row-major with zero padding."""
+        flat = arr.reshape(-1).astype(jnp.int64)
+        flat = jnp.pad(flat, (0, rows * W - flat.shape[0]))
+        return flat.reshape(rows, W)
 
     table_cols = [out["keys"][:, k] for k in range(K)]
     table_cols += [out["count"], out["samples"]]
@@ -684,7 +774,7 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
 
     hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
     if config.track_outliers and hist_ais:
-        kmax = min(config.max_out, R)
+        kmax = layout["kmax_out"]
         for ai in hist_ais:
             mask = out[f"agg{ai}_out_mask"]
             _, idx = jax.lax.top_k(mask.astype(jnp.int32), kmax)
@@ -699,7 +789,7 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
             meta.append(jnp.zeros((), jnp.int64))
 
     if D:
-        kmax = min(config.max_pairs, R)
+        kmax = layout["kmax_pairs"]
         pmask = out["pair_mask"]
         _, idx = jax.lax.top_k(pmask.astype(jnp.int32), kmax)
         block = jnp.concatenate(
@@ -710,26 +800,27 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     else:
         meta.append(jnp.zeros((), jnp.int64))
 
-    meta_row = jnp.zeros((1, W), jnp.int64)
-    for i, m in enumerate(meta):
-        meta_row = meta_row.at[0, i].set(m)
-
-    packed = {"main": jnp.concatenate([meta_row] + sections, axis=0),
-              "table": table}
+    # histogram prefix rides the same buffer: one download per batch
     if hist_ais:
-        Ph = min(config.hist_prefix, config.hist_slots)
+        Ph = layout["Ph"]
         if config.strategy == "dense":
             # dense gids are spread over [0, slots): compact the active
             # hist rows (count>0 or samples>0) and ship their gids along
             live = ((out["count"] > 0) | (out["samples"] > 0))
             _, gidx = jax.lax.top_k(live.astype(jnp.int32), Ph)
-            packed["hist_gids"] = gidx.astype(jnp.int32)
-            packed["hists"] = jnp.stack(
-                [out[f"agg{ai}_hist"][gidx] for ai in hist_ais])
+            sections.append(flat_rows(gidx, layout["hist_gids"][1]))
+            hists = [out[f"agg{ai}_hist"][gidx] for ai in hist_ais]
         else:
-            packed["hists"] = jnp.stack(
-                [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais])
-    return packed
+            hists = [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais]
+        for ai, h in zip(hist_ais, hists):
+            sections.append(flat_rows(h, layout[f"hist{ai}"][1]))
+
+    meta_row = jnp.zeros((1, W), jnp.int64)
+    for i, m in enumerate(meta):
+        meta_row = meta_row.at[0, i].set(m)
+
+    return {"main": jnp.concatenate([meta_row] + sections, axis=0),
+            "table": table}
 
 
 def scan_packed(config: ScanConfig, cols, nrec, filter_vals, bitsets,

@@ -350,14 +350,17 @@ class BatchLoader:
                 set_cols[name] = []
 
         for bi, bdir in enumerate(self.block_dirs):
-            info = blockio.load_block_info(bdir)
-            n = min(info.num_records, C) if info else 0
             exp = self.expected.get(bdir)
-            if info is not None and exp is not None and \
-                    info.num_records != exp:
-                self._check_block(bdir, info.num_records)
-            nrec[bi] = n
-            if set_cols and n:
+            if exp is None:
+                # no snapshot (direct loader use): read the info now
+                info = blockio.load_block_info(bdir)
+                exp = info.num_records if info else 0
+            # record counts come from the info snapshot taken at query
+            # start — re-reading every block's info.json per batch costs
+            # more than the whole device dispatch; staleness is caught by
+            # the column-length checks below
+            nrec[bi] = min(exp, C)
+            if set_cols and nrec[bi]:
                 data = blockio.load_block_columns(bdir, schema,
                                                   list(set_cols))
                 for name, cd in data.items():
@@ -469,9 +472,10 @@ def run_query(table: Table, params: QueryParams,
 
     import dataclasses as _dc
 
-    jfv = jnp.asarray(bound.filter_vals)
-    jbits = tuple(jnp.asarray(b) for b in bound.bitsets)
-    jtb = jnp.asarray(params.time_bucket or 1, dtype=jnp.int64)
+    from ..ops.residency import device_const
+    jfv = device_const(bound.filter_vals)
+    jbits = tuple(device_const(b) for b in bound.bitsets)
+    jtb = device_const(np.asarray(params.time_bucket or 1, dtype=np.int64))
     PIPELINE = 4   # batches in flight before the oldest download blocks
 
     for attempt in range(2):
@@ -508,7 +512,7 @@ def run_query(table: Table, params: QueryParams,
             with timer.phase("dispatch"):
                 jcols = {k: (jnp.asarray(v), jnp.asarray(m))
                          for k, (v, m) in cols.items()}
-                jnrec = jnp.asarray(nrec)
+                jnrec = device_const(nrec)
                 R = B * C
                 if mesh is not None:
                     from ..ops.scan import pack_jit
@@ -520,7 +524,7 @@ def run_query(table: Table, params: QueryParams,
                     from ..ops.scan import scan_packed_jit
                     packed, out = scan_packed_jit(
                         bound.config, jcols, jnrec, jfv, jbits, jtb,
-                        {k: (jnp.asarray(r), jnp.asarray(v))
+                        {k: (device_const(r), device_const(v))
                          for k, (r, v) in set_aux.items()})
             pending.append((packed, out, R, batch_dirs, nrec))
             if len(pending) >= PIPELINE:
@@ -701,15 +705,21 @@ class _Accumulator:
         are touched only when the meta row reports prefix overflow.
         Returns the dense-strategy spill count (>0 => caller must retry
         on the sorted strategy; this batch's rows were NOT absorbed)."""
-        from ..ops.scan import SENTINEL, table_prefix
+        from ..ops.scan import SENTINEL, packed_layout, table_prefix
         config = self.bound.config
         dense = config.strategy == "dense"
         p = self.params
         main = np.asarray(packed["main"])  # the one download
+        layout = packed_layout(config, R)
+        W = layout["W"]
         K = config.n_key_cols
         A = len(p.aggs)
         S = config.table_slots
         P = table_prefix(config)
+
+        def section_flat(name: str, count: int) -> np.ndarray:
+            off, rows = layout[name]
+            return main[off: off + rows].reshape(-1)[:count]
 
         hist_ais = [ai for ai, a in enumerate(config.aggs)
                     if a.num_values > 0]
@@ -742,9 +752,13 @@ class _Accumulator:
         Ph = min(config.hist_prefix, config.hist_slots)
         hist_row_of = None
         if hist_ais:
-            hists_small = np.asarray(packed["hists"])
+            hists_small = {
+                ai: section_flat(f"hist{ai}",
+                                 Ph * config.aggs[ai].num_values)
+                .reshape(Ph, config.aggs[ai].num_values)
+                for ai in hist_ais}
             if dense:
-                gids = np.asarray(packed["hist_gids"])
+                gids = section_flat("hist_gids", Ph)
                 hist_row_of = {int(g): i for i, g in enumerate(gids)}
 
         aggdata = []
@@ -762,7 +776,7 @@ class _Accumulator:
                 if not dense and num_groups > Sh:
                     error("histogram group cap", Sh, "exceeded",
                           f"({num_groups} groups); raise flags.max_hist_groups")
-                hsmall = hists_small[hist_ais.index(ai)]
+                hsmall = hists_small[ai]
                 if dense:
                     if num_groups > Ph:   # actives overflow the compaction
                         hfull = np.asarray(out[f"agg{ai}_hist"])
@@ -777,8 +791,8 @@ class _Accumulator:
                 else:
                     d["hist_get"] = lambda gi, h=hsmall: h[gi]
                 if nouts[ai] > 0:
-                    kmax = min(config.max_out, R)
-                    off = 1 + P + hist_ais.index(ai) * kmax
+                    kmax = layout["kmax_out"]
+                    off = layout[f"out{ai}"][0]
                     block = main[off: off + kmax]
                     if nouts[ai] > kmax:  # escalate to full arrays
                         mask = np.asarray(out[f"agg{ai}_out_mask"])
@@ -832,10 +846,8 @@ class _Accumulator:
                     row["aggs"][ai]["outliers"].append(int(v))
 
         if p.distincts and npairs > 0:
-            kmax = min(config.max_pairs, R)
-            pairs_off = 1 + P + (len(hist_ais) * min(config.max_out, R)
-                                 if (config.track_outliers and hist_ais)
-                                 else 0)
+            kmax = layout["kmax_pairs"]
+            pairs_off = layout["pairs"][0]
             if npairs > kmax:  # escalate
                 mask = np.asarray(out["pair_mask"])
                 skeys = np.asarray(out["sorted_keys"])[mask]
