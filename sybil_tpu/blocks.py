@@ -81,9 +81,26 @@ def unpack_bits(bits: np.ndarray, n: int) -> np.ndarray:
 # encoders
 # ---------------------------------------------------------------------------
 
-def _delta_encode_dense(values: np.ndarray, valid: np.ndarray) -> np.ndarray:
+def _narrow(arr: np.ndarray) -> np.ndarray:
+    """Downcast to the narrowest signed int dtype that holds the range —
+    decode is a widening cumsum either way, and narrow deltas cut the
+    host->HBM transfer (the device-decode path uploads them raw)."""
+    if not len(arr):
+        return arr.astype(np.int8)
+    lo, hi = int(arr.min()), int(arr.max())
+    for dt in (np.int8, np.int16, np.int32):
+        info = np.iinfo(dt)
+        if info.min <= lo and hi <= info.max:
+            return arr.astype(dt)
+    return arr
+
+
+def _delta_encode_dense(values: np.ndarray, valid: np.ndarray):
     """Delta-encode a dense lane; missing slots get delta 0 so the decoder's
-    cumsum carries the previous value through them (masked out by validity)."""
+    cumsum carries the previous value through them (masked out by validity).
+    Returns (deltas, base): deltas[0] is relative to `base` (stored in the
+    column meta) so a huge absolute first value (e.g. a unix timestamp)
+    doesn't force the whole delta array to int64."""
     filled = values.copy()
     if not valid.all():
         # forward-fill missing slots so deltas through them are 0
@@ -91,9 +108,10 @@ def _delta_encode_dense(values: np.ndarray, valid: np.ndarray) -> np.ndarray:
         np.maximum.accumulate(idx, out=idx)
         filled = np.where(idx >= 0, values[np.clip(idx, 0, None)], 0)
     deltas = np.empty_like(filled)
-    deltas[0] = filled[0]
+    base = int(filled[0])
+    deltas[0] = 0
     np.subtract(filled[1:], filled[:-1], out=deltas[1:])
-    return deltas
+    return _narrow(deltas), base
 
 
 def _bucket_encode(values: np.ndarray, valid: np.ndarray):
@@ -109,12 +127,15 @@ def _bucket_encode(values: np.ndarray, valid: np.ndarray):
     offsets[-1] = len(sorted_rows)
     # ids ascend within each segment already (stable argsort of rows order);
     # delta across the flat array with segment-crossing deltas adjusted so a
-    # single global cumsum reconstructs absolute ids.
+    # single global cumsum reconstructs absolute ids.  deltas[0] is
+    # relative to the id_base stored in the meta (narrower dtype).
     deltas = np.empty(len(sorted_rows), dtype=np.int64)
+    base = 0
     if len(sorted_rows):
-        deltas[0] = sorted_rows[0]
+        base = int(sorted_rows[0])
+        deltas[0] = 0
         deltas[1:] = sorted_rows[1:] - sorted_rows[:-1]
-    return uniq, offsets, deltas.astype(np.int32)
+    return uniq, offsets, _narrow(deltas), base
 
 
 def encode_int_column(col: IntColumnData) -> tuple[dict, dict]:
@@ -122,14 +143,17 @@ def encode_int_column(col: IntColumnData) -> tuple[dict, dict]:
     present = col.values[col.valid]
     card = len(np.unique(present)) if len(present) else 0
     if card and card <= CARDINALITY_THRESHOLD:
-        uniq, offsets, deltas = _bucket_encode(col.values, col.valid)
+        uniq, offsets, deltas, base = _bucket_encode(col.values, col.valid)
         meta = {"type": "int", "encoding": "bucket", "num_records": n,
-                "cardinality": int(card), "version": BLOCK_VERSION}
+                "cardinality": int(card), "id_base": base,
+                "version": BLOCK_VERSION}
         return meta, {"uniq": uniq.astype(np.int64), "offsets": offsets,
                       "id_deltas": deltas}
+    deltas, base = _delta_encode_dense(col.values, col.valid)
     meta = {"type": "int", "encoding": "value", "num_records": n,
-            "cardinality": int(card), "version": BLOCK_VERSION}
-    return meta, {"deltas": _delta_encode_dense(col.values, col.valid),
+            "cardinality": int(card), "base": base,
+            "version": BLOCK_VERSION}
+    return meta, {"deltas": deltas,
                   "valid_bits": pack_bits(col.valid)}
 
 
@@ -155,9 +179,11 @@ def encode_str_column(col: StrColumnData) -> tuple[dict, dict]:
     card = len(col.local_dict)
     sections = _dict_sections(col.local_dict)
     if card and card <= CARDINALITY_THRESHOLD:
-        uniq, offsets, deltas = _bucket_encode(col.ids.astype(np.int64), col.valid)
+        uniq, offsets, deltas, base = _bucket_encode(
+            col.ids.astype(np.int64), col.valid)
         meta = {"type": "str", "encoding": "bucket", "num_records": n,
-                "cardinality": int(card), "version": BLOCK_VERSION}
+                "cardinality": int(card), "id_base": base,
+                "version": BLOCK_VERSION}
         sections.update({"uniq": uniq.astype(np.int32), "offsets": offsets,
                          "id_deltas": deltas})
     else:
@@ -186,11 +212,13 @@ def decode_int_container(c: codec.Container) -> IntColumnData:
     n = c.meta["num_records"]
     if c.meta["encoding"] == "value":
         values = np.cumsum(c.read("deltas"), dtype=np.int64)
+        values += c.meta.get("base", 0)
         valid = unpack_bits(c.read("valid_bits"), n)
         return IntColumnData(values, valid)
     uniq = c.read("uniq").astype(np.int64)
     offsets = c.read("offsets")
     ids = np.cumsum(c.read("id_deltas"), dtype=np.int64)
+    ids += c.meta.get("id_base", 0)
     val_idx = np.searchsorted(offsets[1:], np.arange(len(ids)), side="right")
     values = np.zeros(n, dtype=np.int64)
     valid = np.zeros(n, dtype=bool)
@@ -209,6 +237,7 @@ def decode_str_container(c: codec.Container) -> StrColumnData:
     uniq = c.read("uniq").astype(np.int64)
     offsets = c.read("offsets")
     rid = np.cumsum(c.read("id_deltas"), dtype=np.int64)
+    rid += c.meta.get("id_base", 0)
     val_idx = np.searchsorted(offsets[1:], np.arange(len(rid)), side="right")
     ids = np.zeros(n, dtype=np.int32)
     valid = np.zeros(n, dtype=bool)

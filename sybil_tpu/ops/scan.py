@@ -692,7 +692,8 @@ scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
 
 def main_width(config: ScanConfig) -> int:
     K, A, D = config.n_key_cols, len(config.aggs), len(config.distinct_cols)
-    return max(K + 2 + 5 * A, K + D + 1, 4 + A)
+    # meta row needs 2 + len(hist_aggs) + 1 (npairs) + 1 (shuffle overflow)
+    return max(K + 2 + 5 * A, K + D + 1, 5 + A)
 
 
 def table_prefix(config: ScanConfig) -> int:
@@ -799,6 +800,9 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
         meta.append(jnp.sum(pmask.astype(jnp.int64)))
     else:
         meta.append(jnp.zeros((), jnp.int64))
+    # sharded shuffle capacity overflow (mesh path; 0 single-device)
+    meta.append(out.get("shuffle_overflow",
+                        jnp.zeros((), jnp.int64)).astype(jnp.int64))
 
     # histogram prefix rides the same buffer: one download per batch
     if hist_ais:

@@ -140,11 +140,7 @@ class BoundQuery:
                 sub_edges=sub_edges))
 
         max_groups = flags.max_groups or INTERNAL_RESULT_LIMIT
-        any_hist = any(a.num_values > 0 for a in aggspecs)
         max_hist_groups = min(max_groups, flags.max_hist_groups)
-        if flags.data_shards > 1 and any_hist:
-            # the sharded merge moves hist rows with group rows: caps align
-            max_groups = max_hist_groups
 
         # dense-strategy key bounds ([time?, *groups]): str cols bound by
         # the global dictionary, int cols by table IntInfo min/max (which
@@ -279,10 +275,11 @@ class BatchLoader:
     later scans only stack resident arrays (ops/residency.py)."""
 
     def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int,
-                 expected: dict[str, int] | None = None):
+                 expected: dict[str, int] | None = None, shards: int = 0):
         self.bound = bound
         self.block_dirs = block_dirs
         self.C = C
+        self.shards = shards   # >0: set-filter CSR built per mesh shard
         # num_records per block as captured at query start; a column whose
         # decoded length disagrees means the block was republished between
         # the info read and the column load — skip it, mirroring the
@@ -322,6 +319,20 @@ class BatchLoader:
         ent = (jnp.asarray(values), jnp.asarray(valid), ncol)
         CACHE.put(key, ent)
         return ent
+
+    def _decode_batch_device(self, name: str, typ: int):
+        """Batched DEVICE decode of one column (ops/decode.py): mmap the
+        raw encoded sections, pad into batch arrays, decode on the TPU.
+        Returns (values [B, C], valid [B, C], ncols) or None to fall
+        back to the host decoder (exotic shapes, oversized blocks)."""
+        from ..ops.decode import decode_column_batch
+        containers = [blockio.open_column(bdir, typ, name)
+                      for bdir in self.block_dirs]
+        try:
+            return decode_column_batch(containers, self.C)
+        except ValueError as e:
+            debug("device decode fallback for", name, ":", e)
+            return None
 
     def _check_block(self, bdir: str, ncol: int) -> None:
         exp = self.expected.get(bdir)
@@ -378,13 +389,14 @@ class BatchLoader:
             batch_key = ("batch", name, block_keys)
             ent = CACHE.get(batch_key)
             if ent is None:
-                # stacking resident lanes is itself expensive on a
-                # high-latency transport, so the stacked batch is cached too
-                lanes = [self._resident_col(bdir, name, typ)
-                         for bdir in self.block_dirs]
-                ent = (jnp.stack([e[0] for e in lanes]),
-                       jnp.stack([e[1] for e in lanes]),
-                       tuple(e[2] for e in lanes))
+                ent = self._decode_batch_device(name, typ)
+                if ent is None:
+                    # host-decode fallback: stack per-block resident lanes
+                    lanes = [self._resident_col(bdir, name, typ)
+                             for bdir in self.block_dirs]
+                    ent = (jnp.stack([e[0] for e in lanes]),
+                           jnp.stack([e[1] for e in lanes]),
+                           tuple(e[2] for e in lanes))
                 import jax
                 jax.block_until_ready(ent[:2])
                 CACHE.put(batch_key, ent)
@@ -411,11 +423,28 @@ class BatchLoader:
             else:
                 rows = np.zeros(0, dtype=np.int64)
                 vals = np.zeros(0, dtype=np.int64)
-            m = _pad_pow2(max(len(rows), 1))
-            prow = np.full(m, R, dtype=np.int32)
-            pval = np.full(m, -2, dtype=np.int64)
-            prow[:len(rows)] = rows
-            pval[:len(vals)] = vals
+            if self.shards > 1:
+                # per-shard CSR: device d owns the contiguous block range
+                # [d*B/D, (d+1)*B/D); row ids become shard-local and pad
+                # rows point at the shard's R_local sentinel slot
+                D = self.shards
+                R_local = (B // D) * C
+                dev = (rows // R_local).astype(np.int64) if len(rows) \
+                    else rows
+                local = rows - dev * R_local
+                per = [np.nonzero(dev == d)[0] for d in range(D)]
+                m = _pad_pow2(max([len(p) for p in per] + [1]))
+                prow = np.full((D, m), R_local, dtype=np.int32)
+                pval = np.full((D, m), -2, dtype=np.int64)
+                for d, p in enumerate(per):
+                    prow[d, : len(p)] = local[p]
+                    pval[d, : len(p)] = vals[p]
+            else:
+                m = _pad_pow2(max(len(rows), 1))
+                prow = np.full(m, R, dtype=np.int32)
+                pval = np.full(m, -2, dtype=np.int64)
+                prow[:len(rows)] = rows
+                pval[:len(vals)] = vals
             set_aux[name] = (prow, pval)
         return cols, nrec, set_aux
 
@@ -461,14 +490,10 @@ def run_query(table: Table, params: QueryParams,
 
     mesh = None
     if flags.data_shards > 1:
-        has_set = any(f.kind == "set" for f in params.filters)
-        if has_set or params.samples:
-            debug("sharded scan unsupported for this query; single-device")
-        else:
-            from ..parallel.mesh import make_mesh
-            mesh = make_mesh(flags.data_shards)
-            D = flags.data_shards
-            B = max(B, D) // D * D  # batch divides evenly across the mesh
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(flags.data_shards)
+        D = flags.data_shards
+        B = max(B, D) // D * D  # batch divides evenly across the mesh
 
     import dataclasses as _dc
 
@@ -506,7 +531,9 @@ def run_query(table: Table, params: QueryParams,
             batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
             with timer.phase("load"):
-                loader = BatchLoader(bound, batch_dirs, C, expected)
+                loader = BatchLoader(bound, batch_dirs, C, expected,
+                                     shards=(flags.data_shards
+                                             if mesh is not None else 0))
                 cols, nrec, set_aux = loader.load()
             nrec[len(batch):] = 0  # padded repeats contribute nothing
             with timer.phase("dispatch"):
@@ -517,8 +544,10 @@ def run_query(table: Table, params: QueryParams,
                 if mesh is not None:
                     from ..ops.scan import pack_jit
                     from ..parallel.mesh import sharded_scan
-                    out = sharded_scan(bound.config, mesh, jcols, jnrec, jfv,
-                                       jbits, jtb)
+                    out = sharded_scan(
+                        bound.config, mesh, jcols, jnrec, jfv, jbits, jtb,
+                        {k: (device_const(r), device_const(v))
+                         for k, (r, v) in set_aux.items()})
                     packed = pack_jit(bound.config, out, R)
                 else:
                     from ..ops.scan import scan_packed_jit
@@ -730,6 +759,13 @@ class _Accumulator:
             return spill
         nouts = {ai: int(meta[2 + i]) for i, ai in enumerate(hist_ais)}
         npairs = int(meta[2 + len(hist_ais)])
+        overflow = int(meta[3 + len(hist_ais)])
+        if overflow > 0:
+            # shuffle capacity exceeded (extreme key-hash clustering or
+            # more merged groups than table slots): refuse to return a
+            # silently truncated result
+            error("sharded shuffle overflowed by", overflow,
+                  "group rows; raise -max-groups or use fewer data shards")
 
         if num_groups > config.max_groups:
             warn("group cap", config.max_groups,
