@@ -428,7 +428,11 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots):
     ch = max(_LANE, min(R, (1 << 25) // max(slots, 1), 1 << 16))
     ch = 1 << (ch.bit_length() - 1)              # power of two
     nchunk = -(-R // ch)
-    iot = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    # one-hot built TRANSPOSED [slots, ch]: the dot becomes a standard
+    # [M,K]@[K,N] that XLA lowers onto the MXU (contracting dim 0 of both
+    # operands lowers to a slow VPU fusion instead), and the min/max
+    # masked reduce runs along lanes (axis 1) — 4x faster end to end
+    iot = jnp.arange(slots, dtype=jnp.int32)[:, None]
     rix = jnp.arange(ch, dtype=jnp.int32)
 
     if A:
@@ -454,21 +458,21 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots):
         gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
         sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, L * LIMBS8))
         fresh = (start + rix) >= c * ch          # clamp-overlap mask
-        hit = (gs[:, None] == iot) & fresh[:, None]          # [ch, slots]
+        hit = (iot == gs[None, :]) & fresh[None, :]          # [slots, ch]
         oh = hit.astype(jnp.bfloat16)
         d = jax.lax.dot_general(oh, sl.astype(jnp.bfloat16),
-                                (((0,), (0,)), ((), ())),
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         acc = acc + d.astype(jnp.int64)
         if A:
             vs = jax.lax.dynamic_slice(vmat, (start, 0), (ch, A)).astype(mdt)
             ks = jax.lax.dynamic_slice(kmat, (start, 0), (ch, A))
             for a in range(A):
-                h = hit & ks[:, a][:, None]
+                h = hit & ks[:, a][None, :]
                 mn = mn.at[:, a].min(jnp.min(
-                    jnp.where(h, vs[:, a][:, None], BIG), axis=0))
+                    jnp.where(h, vs[:, a][None, :], BIG), axis=1))
                 mx = mx.at[:, a].max(jnp.max(
-                    jnp.where(h, vs[:, a][:, None], -BIG), axis=0))
+                    jnp.where(h, vs[:, a][None, :], -BIG), axis=1))
         return acc, mn, mx
 
     acc, mn, mx = jax.lax.fori_loop(
