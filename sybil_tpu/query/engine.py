@@ -473,17 +473,6 @@ def run_query(table: Table, params: QueryParams,
     if skipped:
         debug("skipped", skipped, "blocks via min/max pruning")
 
-    cache_k = None
-    if flags.cache_queries and not params.samples and not flags.read_log:
-        from . import cache as qcache
-        with timer.phase("cache_probe"):
-            cache_k = qcache.cache_key(params, table, block_dirs, infos)
-            cached = qcache.load_cached_results(table, cache_k)
-        if cached is not None:
-            sort_results(cached, params)
-            timer.report("query(cached)")
-            return cached
-
     maxrec = max((infos[d].num_records for d in block_dirs), default=0)
     C = CHUNK_SIZE if maxrec > 8192 else _pad_pow2(max(maxrec, 1))
     B = max(1, min(flags.device_batch, max(len(block_dirs), 1)))
@@ -495,16 +484,102 @@ def run_query(table: Table, params: QueryParams,
         D = flags.data_shards
         B = max(B, D) // D * D  # batch divides evenly across the mesh
 
+    ctx = _ScanCtx(bound, infos, flags, params, timer, mesh, C)
+
+    cache_mode = (flags.cache_queries and not params.samples
+                  and not flags.read_log)
+    if cache_mode:
+        from . import cache as qcache
+        acc = _Accumulator(bound)
+        with timer.phase("cache_probe"):
+            groups, rest = qcache.stable_groups(block_dirs, infos)
+            missed: list[tuple[str, list[str]]] = []
+            hits = 0
+            for gdirs in groups:
+                k = qcache.group_cache_key(params, table, gdirs, infos)
+                cached = qcache.load_group_rows(table, k, bound)
+                if cached is None:
+                    missed.append((k, gdirs))
+                else:
+                    acc.merge_from(cached)
+                    hits += 1
+        if hits:
+            debug("query cache:", hits, "group hits,", len(missed),
+                  "misses,", len(rest), "uncacheable blocks")
+        # scan each missed group separately so its partial rows can be
+        # cached per immutable block group (query_cache.go:174-242;
+        # only-full-blocks rule :185)
+        for k, gdirs in missed:
+            if acc.distinct_limit_hit():
+                break
+            sub = _scan_dirs(ctx, gdirs, min(B, len(gdirs)),
+                             allow_prune=False)
+            with timer.phase("cache_save"):
+                qcache.save_group_rows(table, k, sub)
+            acc.merge_from(sub)
+            acc.maybe_prune()
+        if rest and not acc.distinct_limit_hit():
+            sub = _scan_dirs(ctx, rest, min(B, len(rest)),
+                             allow_prune=False)
+            acc.merge_from(sub)
+            acc.maybe_prune()
+    else:
+        acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
+
+    if flags.read_log:
+        with timer.phase("rowstore"):
+            _scan_rowstore(acc, bound, table, params, flags)
+
+    with timer.phase("finish"):
+        qr = acc.finish()
+    timer.report("query")
+    return qr
+
+
+class _ScanCtx:
+    """Shared per-query scan state threaded through _scan_dirs calls."""
+
+    def __init__(self, bound, infos, flags, params, timer, mesh, C):
+        from ..ops.residency import device_const
+        self.bound = bound
+        self.infos = infos
+        self.flags = flags
+        self.params = params
+        self.timer = timer
+        self.mesh = mesh
+        self.C = C
+        self.jfv = device_const(bound.filter_vals)
+        self.jbits = tuple(device_const(b) for b in bound.bitsets)
+        self.jtb = device_const(
+            np.asarray(params.time_bucket or 1, dtype=np.int64))
+
+    def refresh_consts(self):
+        from ..ops.residency import device_const
+        self.jfv = device_const(self.bound.filter_vals)
+        self.jbits = tuple(device_const(b) for b in self.bound.bitsets)
+
+
+PIPELINE = 4   # batches in flight before the oldest download blocks
+
+
+def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
+               allow_prune: bool) -> "_Accumulator":
+    """Scan a set of block dirs into a fresh accumulator, with the batch
+    pipeline and dense-spill retry scoped to this call."""
     import dataclasses as _dc
 
+    import jax.numpy as jnp
+
     from ..ops.residency import device_const
-    jfv = device_const(bound.filter_vals)
-    jbits = tuple(device_const(b) for b in bound.bitsets)
-    jtb = device_const(np.asarray(params.time_bucket or 1, dtype=np.int64))
-    PIPELINE = 4   # batches in flight before the oldest download blocks
+
+    bound, flags, params, timer = ctx.bound, ctx.flags, ctx.params, ctx.timer
+    mesh, C = ctx.mesh, ctx.C
+    infos = ctx.infos
 
     for attempt in range(2):
         acc = _Accumulator(bound)
+        if not allow_prune:
+            acc.prune_cap = 0
         spilled = False
         pending: list[tuple] = []
 
@@ -512,21 +587,20 @@ def run_query(table: Table, params: QueryParams,
             packed, out, R, batch_dirs, nrec = pending.pop(0)
             if acc.absorb_packed(packed, out, R) > 0:
                 return False
-            acc.maybe_prune()
+            if allow_prune:
+                acc.maybe_prune()
             if params.samples and \
                     len(acc.sample_rows) < max(params.limit, 1) * 4:
                 acc.collect_samples(out, batch_dirs, nrec, C)
             return True
 
-        def distinct_limit_hit() -> bool:
-            # distinct-limit early exit (table_query.go:263-279): stop
-            # scanning once the group count reaches -distinct-limit
-            return (params.num_distinct > 0
-                    and acc.num_group_rows() >= params.num_distinct)
+        def stop_early() -> bool:
+            return allow_prune and acc.distinct_limit_hit()
 
-        expected = {d: infos[d].num_records for d in block_dirs}
+        expected = {d: infos[d].num_records for d in block_dirs
+                    if d in infos}
         for start in range(0, len(block_dirs), B):
-            if distinct_limit_hit():
+            if stop_early():
                 break
             batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
@@ -545,14 +619,16 @@ def run_query(table: Table, params: QueryParams,
                     from ..ops.scan import pack_jit
                     from ..parallel.mesh import sharded_scan
                     out = sharded_scan(
-                        bound.config, mesh, jcols, jnrec, jfv, jbits, jtb,
+                        bound.config, mesh, jcols, jnrec, ctx.jfv,
+                        ctx.jbits, ctx.jtb,
                         {k: (device_const(r), device_const(v))
                          for k, (r, v) in set_aux.items()})
                     packed = pack_jit(bound.config, out, R)
                 else:
                     from ..ops.scan import scan_packed_jit
                     packed, out = scan_packed_jit(
-                        bound.config, jcols, jnrec, jfv, jbits, jtb,
+                        bound.config, jcols, jnrec, ctx.jfv, ctx.jbits,
+                        ctx.jtb,
                         {k: (device_const(r), device_const(v))
                          for k, (r, v) in set_aux.items()})
             pending.append((packed, out, R, batch_dirs, nrec))
@@ -563,7 +639,7 @@ def run_query(table: Table, params: QueryParams,
                     spilled = True
                     break
         while not spilled and pending:
-            if distinct_limit_hit():
+            if stop_early():
                 pending.clear()
                 break
             with timer.phase("drain"):
@@ -571,25 +647,13 @@ def run_query(table: Table, params: QueryParams,
             if not ok:
                 spilled = True
         if not spilled:
-            break
+            return acc
         # an int/time group key fell outside its IntInfo bound (the stats
         # are outlier-resistant): redo the scan on the sorted strategy
         debug("dense key bound spilled; retrying on sorted strategy")
         bound.config = _dc.replace(bound.config, force_sorted=True)
         pending.clear()
-
-    if flags.read_log:
-        with timer.phase("rowstore"):
-            _scan_rowstore(acc, bound, table, params, flags)
-
-    with timer.phase("finish"):
-        qr = acc.finish()
-    if cache_k is not None:
-        from . import cache as qcache
-        with timer.phase("cache_save"):
-            qcache.save_cached_results(table, cache_k, qr, params)
-    timer.report("query")
-    return qr
+    return acc
 
 
 def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
@@ -693,6 +757,48 @@ class _Accumulator:
         if self.params.time_bucket > 0:
             return len({self._group_part(k) for k in self.rows})
         return len(self.rows)
+
+    def distinct_limit_hit(self) -> bool:
+        """distinct-limit early exit (table_query.go:263-279)."""
+        return (self.params.num_distinct > 0
+                and self.num_group_rows() >= self.params.num_distinct)
+
+    def merge_from(self, other: "_Accumulator") -> None:
+        """Merge another accumulator's rows (cached group partials or a
+        scoped sub-scan) into this one."""
+        self.matched_count += other.matched_count
+        self.batches += other.batches
+        for kt, row in other.rows.items():
+            mine = self.rows.get(kt)
+            if mine is None:
+                self.rows[kt] = row
+                continue
+            mine["count"] += row["count"]
+            mine["samples"] += row["samples"]
+            for ai, cur in enumerate(row["aggs"]):
+                if cur is None:
+                    continue
+                m = mine["aggs"][ai]
+                if m is None:
+                    mine["aggs"][ai] = cur
+                    continue
+                m["count"] += cur["count"]
+                m["wv"] += cur["wv"]
+                if cur["min"] is not None:
+                    m["min"] = (cur["min"] if m["min"] is None
+                                else min(m["min"], cur["min"]))
+                if cur["max"] is not None:
+                    m["max"] = (cur["max"] if m["max"] is None
+                                else max(m["max"], cur["max"]))
+                if cur["hist"] is not None:
+                    m["hist"] = (cur["hist"] if m["hist"] is None
+                                 else m["hist"] + cur["hist"])
+                m["outliers"].extend(cur["outliers"])
+            if row["distinct"] is not None:
+                if mine["distinct"] is None:
+                    mine["distinct"] = row["distinct"]
+                else:
+                    mine["distinct"].merge(row["distinct"])
 
     def _prune_score(self, rows_of_group: list[dict]):
         p = self.params

@@ -106,7 +106,12 @@ class Table:
         return out
 
     def new_block_name(self) -> str:
-        return f"{constants.BLOCK_PREFIX}{uuid.uuid4().hex[:12]}"
+        # creation-time-prefixed so names sort in append order: new blocks
+        # append AFTER all existing ones, keeping the query cache's stable
+        # block groups stable under a steady ingest stream (query/cache.py)
+        import time
+        return (f"{constants.BLOCK_PREFIX}{time.time_ns():016x}"
+                f"{uuid.uuid4().hex[:8]}")
 
     def block_infos(self) -> dict[str, blocks.BlockInfo]:
         """Per-block info, via the batched block-info cache when enabled

@@ -47,34 +47,97 @@ def test_read_log_with_filter(tmp_path):
     assert sum(r.count for r in qr.results.values()) == 100
 
 
+def make_blocks(tmp_path, n_blocks=20, chunk=64, per=64):
+    """A table whose rows land in n_blocks FULL blocks (cacheable)."""
+    import sybil_tpu.digest as dg
+    import sybil_tpu.query.cache as qc
+    flags = Flags(dir=str(tmp_path / "db"), table="t", skip_compact=True,
+                  device_batch=4)
+    t = Table("t", flags)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = chunk
+    qc.CHUNK_SIZE = chunk
+    try:
+        n = n_blocks * per
+        recs = [flatten_record({"x": i % 7, "v": i, "time": i})
+                for i in range(n)]
+        t.ingest_records(recs)
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    return t, flags, n
+
+
 def test_query_cache_roundtrip(tmp_path):
-    t, flags = make(tmp_path)
-    digest_records(t)
+    import sybil_tpu.query.cache as qc
+    t, flags, n = make_blocks(tmp_path)
     cflags = Flags(**{**vars(flags), "cache_queries": True})
     params = QueryParams(groups=("x",), aggs=(AggDef("v", "avg"),))
     qr1 = run_query(t, params, cflags)
     cache_dir = os.path.join(t.dir, "cache")
-    assert os.listdir(cache_dir)
+    assert [f for f in os.listdir(cache_dir) if f.startswith("q_")]
 
+    h0 = qc.HITS
     qr2 = run_query(t, params, cflags)  # cache hit
+    assert qc.HITS > h0
     assert {k: r.count for k, r in qr2.results.items()} == \
            {k: r.count for k, r in qr1.results.items()}
+    assert sum(r.count for r in qr2.results.values()) == n
     for k in qr1.results:
         h1, h2 = qr1.results[k].hists["v"], qr2.results[k].hists["v"]
         assert abs(h1.mean() - h2.mean()) < 1e-12
     assert [r.group_key for r in qr2.sorted] == \
            [r.group_key for r in qr1.sorted]
 
+    # uncached result identical (cache path vs direct path parity)
+    qr3 = run_query(t, params, flags)
+    assert {k: r.count for k, r in qr3.results.items()} == \
+           {k: r.count for k, r in qr1.results.items()}
 
-def test_query_cache_invalidated_by_digest(tmp_path):
-    t, flags = make(tmp_path)
-    digest_records(t)
+
+def test_query_cache_survives_new_blocks(tmp_path):
+    """Digesting MORE data must not invalidate old immutable block
+    groups: the re-query serves them from cache (VERDICT r1 task 7;
+    reference per-block rule query_cache.go:174-242)."""
+    import sybil_tpu.digest as dg
+    import sybil_tpu.query.cache as qc
+    t, flags, n = make_blocks(tmp_path)
     cflags = Flags(**{**vars(flags), "cache_queries": True})
     params = QueryParams(groups=("x",))
     qr1 = run_query(t, params, cflags)
-    assert sum(r.count for r in qr1.results.values()) == 300
+    assert sum(r.count for r in qr1.results.values()) == n
 
-    t.ingest_records([flatten_record({"x": 0, "v": 1}) for _ in range(50)])
-    digest_records(t)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 64
+    try:
+        t.ingest_records([flatten_record({"x": 0, "v": 1, "time": 10**9})
+                          for _ in range(200)])
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+
+    h0, m0 = qc.HITS, qc.MISSES
     qr2 = run_query(t, params, cflags)
-    assert sum(r.count for r in qr2.results.values()) == 350
+    assert sum(r.count for r in qr2.results.values()) == n + 200
+    # old immutable groups hit; only the block topped up by the new
+    # digest (and the new trailing blocks) re-scan
+    assert qc.HITS - h0 >= 1
+    assert qc.MISSES - m0 <= 1
+
+
+def test_query_cache_time_sliding_filter(tmp_path):
+    """A gt-time filter trivially true for interior groups is dropped
+    from their keys, so sliding the filter still hits (the reference's
+    GetCacheRelevantFilters trick, query_cache.go:69-131)."""
+    import sybil_tpu.query.cache as qc
+    t, flags, n = make_blocks(tmp_path)
+    cflags = Flags(**{**vars(flags), "cache_queries": True})
+    p1 = QueryParams(groups=("x",),
+                     filters=(FilterDef("time", "gt", "-5", "int"),))
+    run_query(t, p1, cflags)
+    h0 = qc.HITS
+    p2 = QueryParams(groups=("x",),
+                     filters=(FilterDef("time", "gt", "-3", "int"),))
+    qr = run_query(t, p2, cflags)
+    assert qc.HITS > h0          # different literal, same trivial keys
+    assert sum(r.count for r in qr.results.values()) == n
