@@ -137,6 +137,15 @@ def _query_parser():
     p.add_argument("-read-log", "--read-log", action="store_true")
     p.add_argument("-cache-queries", "--cache-queries", action="store_true")
     p.add_argument("-device-batch", "--device-batch", type=int, default=16)
+    p.add_argument("-data-shards", "--data-shards", type=int, default=0,
+                   help="shard the scan over an N-device mesh")
+    # multi-host: join N processes into one mesh (parallel/multihost.py);
+    # the TPU-native alternative to shipping encode-flags/encode-results
+    # blobs between independent binaries
+    p.add_argument("-dist-coordinator", "--dist-coordinator", default="",
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("-dist-pid", "--dist-pid", type=int, default=-1)
+    p.add_argument("-dist-nproc", "--dist-nproc", type=int, default=0)
     # multi-value flag separators, overridable so values may contain
     # commas/colons (the Go client API passes ASCII 30/31,
     # api/cmd_query.go:15-16,163-164)
@@ -181,6 +190,10 @@ def _flags_from_query_args(args) -> Flags:
     flags.read_log = args.read_log
     flags.cache_queries = args.cache_queries
     flags.device_batch = args.device_batch
+    flags.data_shards = args.data_shards
+    flags.dist_coordinator = args.dist_coordinator
+    flags.dist_process_id = args.dist_pid
+    flags.dist_num_processes = args.dist_nproc
     flags.field_separator = args.field_separator
     flags.filter_separator = args.filter_separator
     return flags
@@ -244,6 +257,11 @@ def run_query_flags(flags: Flags) -> int:
     with device_trace(flags.profile_dir if flags.profile else None):
         qr = run_query(t, params, flags)
 
+    from .parallel.multihost import is_printer
+    if not is_printer():
+        # every process of a multi-host mesh computes the identical
+        # replicated result; only process 0 talks to stdout
+        return 0
     if flags.samples:
         printer.print_samples(qr.samples, params, flags)
         return 0

@@ -81,6 +81,11 @@ class Flags:
     platform: str = ""               # force jax platform ("cpu" for tests)
     data_shards: int = 0             # >1: shard the scan over a device mesh
     force_sorted: bool = False       # disable the dense MXU group-by path
+    # multi-host runtime (parallel/multihost.py): join N processes into
+    # one mesh via jax.distributed; 0/-1/"" = single process
+    dist_coordinator: str = ""       # "host:port" of process 0
+    dist_process_id: int = -1
+    dist_num_processes: int = 0
 
     def encode(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
@@ -98,9 +103,11 @@ class Flags:
         like -encode-results survive an incoming query broadcast."""
         data = json.loads(payload)
         known = {f.name for f in dataclasses.fields(self)}
+        # per-process runtime identity never travels with a query
+        skip = {"dist_coordinator", "dist_process_id", "dist_num_processes"}
         merged = dataclasses.replace(self)
         for k, v in data.items():
-            if k in known and v not in (False, 0, 0.0, ""):
+            if k in known and k not in skip and v not in (False, 0, 0.0, ""):
                 setattr(merged, k, v)
         return merged
 

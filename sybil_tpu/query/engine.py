@@ -275,11 +275,15 @@ class BatchLoader:
     later scans only stack resident arrays (ops/residency.py)."""
 
     def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int,
-                 expected: dict[str, int] | None = None, shards: int = 0):
+                 expected: dict[str, int] | None = None, shards: int = 0,
+                 as_numpy: bool = False):
         self.bound = bound
         self.block_dirs = block_dirs
         self.C = C
         self.shards = shards   # >0: set-filter CSR built per mesh shard
+        # as_numpy: return host arrays (multi-host global-array assembly
+        # stitches them into jax.Arrays itself, parallel/multihost.py)
+        self.as_numpy = as_numpy
         # num_records per block as captured at query start; a column whose
         # decoded length disagrees means the block was republished between
         # the info read and the column load — skip it, mirroring the
@@ -402,7 +406,10 @@ class BatchLoader:
                 CACHE.put(batch_key, ent)
             for bdir, ncol in zip(self.block_dirs, ent[2]):
                 self._check_block(bdir, ncol)
-            cols[name] = (ent[0], ent[1])
+            if self.as_numpy:
+                cols[name] = (np.asarray(ent[0]), np.asarray(ent[1]))
+            else:
+                cols[name] = (ent[0], ent[1])
 
         if self.changed:
             # zero out changed blocks so the kernel scans nothing from them
@@ -412,8 +419,9 @@ class BatchLoader:
         if not cols:
             # bare count(*) query: synthesize one lane so the kernel has a
             # shape to scan; row_in_range does the counting
-            cols["__count__"] = (jnp.zeros((B, C), dtype=jnp.int64),
-                                 jnp.ones((B, C), dtype=bool))
+            xp = np if self.as_numpy else jnp
+            cols["__count__"] = (xp.zeros((B, C), dtype=xp.int64),
+                                 xp.ones((B, C), dtype=bool))
 
         set_aux = {}
         for name, chunks in set_cols.items():
@@ -478,13 +486,30 @@ def run_query(table: Table, params: QueryParams,
     B = max(1, min(flags.device_batch, max(len(block_dirs), 1)))
 
     mesh = None
+    multihost = False
+    from ..parallel import multihost as mh
+    mh.init_distributed(flags)
+    if mh.is_multiprocess():
+        # N processes, one mesh: every process runs this same program;
+        # the scan shards over ALL processes' devices (parallel/multihost.py)
+        import jax
+        multihost = True
+        if flags.data_shards <= 1:
+            flags.data_shards = jax.device_count()
     if flags.data_shards > 1:
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(flags.data_shards)
         D = flags.data_shards
         B = max(B, D) // D * D  # batch divides evenly across the mesh
+        if multihost:
+            import jax
+            nproc = jax.process_count()
+            if D % nproc or (B // D) * D % nproc:
+                error("data-shards", D, "must divide evenly across",
+                      nproc, "processes")
 
-    ctx = _ScanCtx(bound, infos, flags, params, timer, mesh, C)
+    ctx = _ScanCtx(bound, infos, flags, params, timer, mesh, C,
+                   multihost=multihost)
 
     cache_mode = (flags.cache_queries and not params.samples
                   and not flags.read_log)
@@ -514,8 +539,9 @@ def run_query(table: Table, params: QueryParams,
                 break
             sub = _scan_dirs(ctx, gdirs, min(B, len(gdirs)),
                              allow_prune=False)
-            with timer.phase("cache_save"):
-                qcache.save_group_rows(table, k, sub)
+            if mh.is_printer():  # one writer per mesh; others share disk
+                with timer.phase("cache_save"):
+                    qcache.save_group_rows(table, k, sub)
             acc.merge_from(sub)
             acc.maybe_prune()
         if rest and not acc.distinct_limit_hit():
@@ -539,8 +565,8 @@ def run_query(table: Table, params: QueryParams,
 class _ScanCtx:
     """Shared per-query scan state threaded through _scan_dirs calls."""
 
-    def __init__(self, bound, infos, flags, params, timer, mesh, C):
-        from ..ops.residency import device_const
+    def __init__(self, bound, infos, flags, params, timer, mesh, C,
+                 multihost: bool = False):
         self.bound = bound
         self.infos = infos
         self.flags = flags
@@ -548,15 +574,23 @@ class _ScanCtx:
         self.timer = timer
         self.mesh = mesh
         self.C = C
-        self.jfv = device_const(bound.filter_vals)
-        self.jbits = tuple(device_const(b) for b in bound.bitsets)
-        self.jtb = device_const(
-            np.asarray(params.time_bucket or 1, dtype=np.int64))
+        self.multihost = multihost
+        self.refresh_consts()
 
     def refresh_consts(self):
         from ..ops.residency import device_const
-        self.jfv = device_const(self.bound.filter_vals)
-        self.jbits = tuple(device_const(b) for b in self.bound.bitsets)
+        if self.multihost:
+            # raw numpy: identical on every process, JAX treats host
+            # values under a replicated in_spec as one global constant
+            self.jfv = np.asarray(self.bound.filter_vals)
+            self.jbits = tuple(np.asarray(b) for b in self.bound.bitsets)
+        else:
+            self.jfv = device_const(self.bound.filter_vals)
+            self.jbits = tuple(device_const(b) for b in self.bound.bitsets)
+        self.jtb = (np.asarray(self.params.time_bucket or 1, dtype=np.int64)
+                    if self.multihost else device_const(
+                        np.asarray(self.params.time_bucket or 1,
+                                   dtype=np.int64)))
 
 
 PIPELINE = 4   # batches in flight before the oldest download blocks
@@ -576,8 +610,22 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
     mesh, C = ctx.mesh, ctx.C
     infos = ctx.infos
 
+    multihost = ctx.multihost
+    if multihost:
+        import functools
+
+        import jax
+
+        from ..parallel import multihost as mh
+        nproc = jax.process_count()
+        pid = jax.process_index()
+
     for attempt in range(2):
         acc = _Accumulator(bound)
+        if multihost:
+            # escalation downloads may hit sharded global arrays; fetch
+            # all-gathers them into replicated form first
+            acc.fetch = functools.partial(mh.fetch, mesh=mesh)
         if not allow_prune:
             acc.prune_cap = 0
         spilled = False
@@ -604,6 +652,61 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                 break
             batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
+            R = B * C
+            if multihost:
+                # each process loads/feeds only its local span of the
+                # global batch; arrays are stitched into one global
+                # array sharded over the mesh (parallel/multihost.py)
+                D = flags.data_shards
+                Bl = B // nproc
+                lo = pid * Bl
+                local_dirs = batch_dirs[lo: lo + Bl]
+                with timer.phase("load"):
+                    loader = BatchLoader(bound, local_dirs, C, expected,
+                                         shards=D // nproc, as_numpy=True)
+                    cols, nrec, set_aux = loader.load()
+                # zero global-padding blocks falling in this span
+                cut = max(0, min(len(batch) - lo, Bl))
+                nrec[cut:] = 0
+                # the host-side sample walk needs per-block counts for
+                # the WHOLE batch; the info snapshot is shared state
+                nrec_global = np.array(
+                    [min(expected.get(d, 0), C) for d in batch_dirs],
+                    dtype=np.int32)
+                nrec_global[len(batch):] = 0
+                with timer.phase("dispatch"):
+                    from ..ops.scan import pack_jit
+                    from ..parallel.mesh import sharded_scan
+                    jcols = {k: (mh.global_batch(mesh, v),
+                                 mh.global_batch(mesh, m))
+                             for k, (v, m) in cols.items()}
+                    jnrec = mh.global_batch(mesh, nrec)
+                    gsa = {}
+                    R_local = (B // D) * C
+                    for k, (prow, pval) in set_aux.items():
+                        # pad widths must agree across processes
+                        m_t = mh.allgather_max(prow.shape[1])
+                        if prow.shape[1] < m_t:
+                            pr = np.full((prow.shape[0], m_t), R_local,
+                                         dtype=prow.dtype)
+                            pv = np.full((pval.shape[0], m_t), -2,
+                                         dtype=pval.dtype)
+                            pr[:, :prow.shape[1]] = prow
+                            pv[:, :pval.shape[1]] = pval
+                            prow, pval = pr, pv
+                        gsa[k] = (mh.global_batch(mesh, prow),
+                                  mh.global_batch(mesh, pval))
+                    out = sharded_scan(bound.config, mesh, jcols, jnrec,
+                                       ctx.jfv, ctx.jbits, ctx.jtb, gsa)
+                    packed = pack_jit(bound.config, out, R)
+                pending.append((packed, out, R, batch_dirs, nrec_global))
+                if len(pending) >= PIPELINE:
+                    with timer.phase("drain"):
+                        ok = drain_one()
+                    if not ok:
+                        spilled = True
+                        break
+                continue
             with timer.phase("load"):
                 loader = BatchLoader(bound, batch_dirs, C, expected,
                                      shards=(flags.data_shards
@@ -614,7 +717,6 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                 jcols = {k: (jnp.asarray(v), jnp.asarray(m))
                          for k, (v, m) in cols.items()}
                 jnrec = device_const(nrec)
-                R = B * C
                 if mesh is not None:
                     from ..ops.scan import pack_jit
                     from ..parallel.mesh import sharded_scan
@@ -731,6 +833,9 @@ class _Accumulator:
     def __init__(self, bound: BoundQuery):
         self.bound = bound
         self.params = bound.params
+        # device->host download; multi-host swaps in a gathering fetch
+        # (parallel/multihost.py) for arrays this process can't address
+        self.fetch = np.asarray
         # key tuple -> accumulated plain sums
         self.rows: dict[tuple, dict] = {}
         self.matched_count = 0
@@ -844,7 +949,7 @@ class _Accumulator:
         config = self.bound.config
         dense = config.strategy == "dense"
         p = self.params
-        main = np.asarray(packed["main"])  # the one download
+        main = self.fetch(packed["main"])  # the one download
         layout = packed_layout(config, R)
         W = layout["W"]
         K = config.n_key_cols
@@ -882,7 +987,7 @@ class _Accumulator:
             n = min(num_groups, S)
 
         if n > P:
-            table = np.asarray(packed["table"][:n])  # escalation
+            table = self.fetch(packed["table"][:n])  # escalation
         else:
             table = main[1: 1 + n]
         keys = table[:, :K]
@@ -921,14 +1026,14 @@ class _Accumulator:
                 hsmall = hists_small[ai]
                 if dense:
                     if num_groups > Ph:   # actives overflow the compaction
-                        hfull = np.asarray(out[f"agg{ai}_hist"])
+                        hfull = self.fetch(out[f"agg{ai}_hist"])
                         d["hist_get"] = lambda gi, h=hfull: h[gi]
                     else:
                         d["hist_get"] = (
                             lambda gi, h=hsmall, m=hist_row_of:
                             h[m[gi]] if gi in m else None)
                 elif n > Ph:
-                    hfull = np.asarray(out[f"agg{ai}_hist"][:n])
+                    hfull = self.fetch(out[f"agg{ai}_hist"][:n])
                     d["hist_get"] = lambda gi, h=hfull: h[gi]
                 else:
                     d["hist_get"] = lambda gi, h=hsmall: h[gi]
@@ -937,39 +1042,57 @@ class _Accumulator:
                     off = layout[f"out{ai}"][0]
                     block = main[off: off + kmax]
                     if nouts[ai] > kmax:  # escalate to full arrays
-                        mask = np.asarray(out[f"agg{ai}_out_mask"])
+                        mask = self.fetch(out[f"agg{ai}_out_mask"])
                         d["outlier_pairs"] = (
-                            np.asarray(out["sorted_gkeys"])[mask],
-                            np.asarray(out[f"agg{ai}_out_val"])[mask])
+                            self.fetch(out["sorted_gkeys"])[mask],
+                            self.fetch(out[f"agg{ai}_out_val"])[mask])
                     else:
                         flags_col = block[:, K + 1] != 0
                         d["outlier_pairs"] = (block[flags_col, :K],
                                               block[flags_col, K])
             aggdata.append(d)
 
-        for gi in active:
-            kt = tuple(int(k) for k in keys[gi])
+        # bulk-convert the active rows to plain Python once: per-element
+        # `int(np_scalar)` in the loop below costs ~200ns a pop, which at
+        # 10k time-rollup groups per batch dominated the whole query
+        active_l = active.tolist()
+        keys_l = keys[active].tolist()
+        counts_l = counts[active].tolist()
+        samples_l = samples[active].tolist()
+        agg_l = []
+        for d in aggdata:
+            agg_l.append((d["exists"][active].tolist(),
+                          d["count"][active].tolist(),
+                          d["wv"][active].tolist(),
+                          d["min"][active].tolist(),
+                          d["max"][active].tolist()))
+
+        rows_map = self.rows
+        n_aggs = len(aggdata)
+        for i, gi in enumerate(active_l):
+            kt = tuple(keys_l[i])
             if kt and kt[0] == SENTINEL:
                 continue
-            row = self.rows.get(kt)
+            row = rows_map.get(kt)
             if row is None:
-                row = {"count": 0, "samples": 0, "aggs": [None] * len(aggdata),
+                row = {"count": 0, "samples": 0, "aggs": [None] * n_aggs,
                        "distinct": None}
-                self.rows[kt] = row
-            row["count"] += int(counts[gi])
-            row["samples"] += int(samples[gi])
+                rows_map[kt] = row
+            row["count"] += counts_l[i]
+            row["samples"] += samples_l[i]
             for ai, d in enumerate(aggdata):
-                if not d["exists"][gi]:
+                ex, cnt, wv, mn_l, mx_l = agg_l[ai]
+                if not ex[i]:
                     continue
                 cur = row["aggs"][ai]
                 if cur is None:
                     cur = {"count": 0, "wv": 0, "min": None, "max": None,
                            "hist": None, "outliers": []}
                     row["aggs"][ai] = cur
-                cur["count"] += int(d["count"][gi])
-                cur["wv"] += int(d["wv"][gi])
-                if d["count"][gi] > 0:
-                    mn, mx = int(d["min"][gi]), int(d["max"][gi])
+                cur["count"] += cnt[i]
+                cur["wv"] += wv[i]
+                if cnt[i] > 0:
+                    mn, mx = mn_l[i], mx_l[i]
                     cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
                     cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
                 if "hist_get" in d:
@@ -991,8 +1114,8 @@ class _Accumulator:
             kmax = layout["kmax_pairs"]
             pairs_off = layout["pairs"][0]
             if npairs > kmax:  # escalate
-                mask = np.asarray(out["pair_mask"])
-                skeys = np.asarray(out["sorted_keys"])[mask]
+                mask = self.fetch(out["pair_mask"])
+                skeys = self.fetch(out["sorted_keys"])[mask]
             else:
                 block = main[pairs_off: pairs_off + kmax]
                 nkall = config.n_all_keys
@@ -1034,7 +1157,7 @@ class _Accumulator:
             row["distinct"].add(buf)
 
     def collect_samples(self, out, batch_dirs, nrec, C) -> None:
-        matched = np.asarray(out["matched"])
+        matched = self.fetch(out["matched"])
         limit = max(self.params.limit, 1)
         schema = self.bound.table.schema
         if self.params.sample_cols:
