@@ -109,6 +109,19 @@ class ScanConfig:
     hist_prefix: int = 128       # hist group rows downloaded eagerly
     max_out: int = 1024          # compacted outlier rows per agg
     max_pairs: int = 16384       # compacted distinct pairs
+    # device-side intermediate top-k (PruneResults, aggregate.go:469-471,
+    # run ON the chip): >0 = ship only the prune_topk best group rows per
+    # batch instead of the full table.  Sorted strategy, no hist/distinct
+    # lanes (engine enforces).  prune_agg: score = that agg's mean;
+    # -1 = weighted count ($COUNT).
+    prune_topk: int = 0
+    prune_agg: int = -1
+    # sorted-strategy key packing: when every group key is exactly
+    # dictionary-bounded (str cols only — int bounds from IntInfo are
+    # outlier-resistant and may be exceeded), the multi-key sort packs
+    # all keys into ONE mixed-radix integer (int32 when it fits),
+    # halving sort payload.  (min, card) per group key; () = off.
+    sort_pack: tuple[tuple[int, int], ...] = ()
 
     @property
     def n_key_cols(self) -> int:
@@ -549,20 +562,44 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     B, C, R, flat, matched, keys, dkeys, weight = _front_end(
         config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
 
-    all_keys = [jnp.where(matched, k, SENTINEL) for k in keys + dkeys]
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
     n_group_keys = len(keys)
-    sorted_ops = jax.lax.sort([*all_keys, idx], num_keys=len(all_keys))
-    skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
-
-    smatched = matched[sidx]
-    sweight = weight[sidx]
-
-    gkeys = skeys[:n_group_keys]
-    prev_differs = jnp.zeros((R,), bool).at[0].set(True)
-    for k in gkeys:
+    pack = config.sort_pack
+    if pack and not dkeys and len(pack) == n_group_keys:
+        # mixed-radix pack: ONE narrow sort key instead of K int64 keys.
+        # digit 0 = MISSING (-1); sentinel (= radix product) sorts last.
+        sent = 1
+        for (_, card) in pack:
+            sent *= card + 1
+        dtype = jnp.int32 if sent < 2**31 - 1 else jnp.int64
+        packed = jnp.zeros((R,), dtype)
+        for (mn, card), k in zip(pack, keys):
+            packed = packed * (card + 1) + (k - mn + 1).astype(dtype)
+        packed = jnp.where(matched, packed, jnp.asarray(sent, dtype))
+        sorted_ops = jax.lax.sort([packed, idx], num_keys=1)
+        spacked, sidx = sorted_ops
+        smatched = matched[sidx]
+        sweight = weight[sidx]
+        # original key values: one [R] gather per key (cheaper than
+        # carrying them through the sort)
+        gkeys = [jnp.where(smatched, k[sidx], SENTINEL) for k in keys]
+        skeys = gkeys
+        prev_differs = jnp.zeros((R,), bool).at[0].set(True)
         prev_differs = prev_differs | jnp.concatenate(
-            [jnp.ones((1,), bool), k[1:] != k[:-1]])
+            [jnp.ones((1,), bool), spacked[1:] != spacked[:-1]])
+    else:
+        all_keys = [jnp.where(matched, k, SENTINEL) for k in keys + dkeys]
+        sorted_ops = jax.lax.sort([*all_keys, idx], num_keys=len(all_keys))
+        skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
+
+        smatched = matched[sidx]
+        sweight = weight[sidx]
+
+        gkeys = skeys[:n_group_keys]
+        prev_differs = jnp.zeros((R,), bool).at[0].set(True)
+        for k in gkeys:
+            prev_differs = prev_differs | jnp.concatenate(
+                [jnp.ones((1,), bool), k[1:] != k[:-1]])
     gid = jnp.cumsum(prev_differs.astype(jnp.int32)) - 1
     num_groups = gid[-1] + 1
 
@@ -696,14 +733,20 @@ scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
 
 def main_width(config: ScanConfig) -> int:
     K, A, D = config.n_key_cols, len(config.aggs), len(config.distinct_cols)
-    # meta row needs 2 + len(hist_aggs) + 1 (npairs) + 1 (shuffle overflow)
-    return max(K + 2 + 5 * A, K + D + 1, 5 + A)
+    # meta row: num_groups, spill, nout per hist agg, npairs, shuffle
+    # overflow, pruned marker, total count/samples (device-prune path)
+    return max(K + 2 + 5 * A, K + D + 1, 7 + A)
 
 
 def table_prefix(config: ScanConfig) -> int:
     if config.strategy == "dense":
         return config.dense_slots
-    return min(config.prefix_rows, config.max_groups)
+    p = min(config.prefix_rows, config.max_groups)
+    if config.prune_topk > 0:
+        # device prune ships exactly the top-k rows: the table section
+        # (and with it the whole download) shrinks to match
+        p = min(p, config.prune_topk)
+    return p
 
 
 def packed_layout(config: ScanConfig, R: int) -> dict:
@@ -773,6 +816,28 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
                        out[f"agg{ai}_min"], out[f"agg{ai}_max"]]
     table = jnp.stack(table_cols, axis=1)  # [S, K+2+5A]
 
+    pruned = 0
+    if config.prune_topk > 0 and config.strategy != "dense":
+        # intermediate top-k ON the device (the TPU-native PruneResults,
+        # aggregate.go:469-471): only the best-scoring rows ever leave
+        # HBM — a high-cardinality group-by downloads prune_topk rows,
+        # not the whole 100k-slot table
+        live = (out["count"] > 0) | (out["samples"] > 0)
+        pruned = min(config.prune_topk, int(table.shape[0]), P)
+        if config.prune_agg >= 0:
+            ai = config.prune_agg
+            acnt = out[f"agg{ai}_count"]
+            score = jnp.where(
+                live & (acnt > 0),
+                out[f"agg{ai}_wv"].astype(jnp.float32)
+                / jnp.maximum(acnt, 1).astype(jnp.float32),
+                -jnp.inf)
+            _, pidx = jax.lax.top_k(score, pruned)
+        else:
+            _, pidx = jax.lax.top_k(jnp.where(live, out["count"], -1),
+                                    pruned)
+        table = table[pidx]
+
     meta = [out["num_groups"].astype(jnp.int64),
             out.get("spill", jnp.zeros((), jnp.int64))]
     sections = [pad_to(table[:P], W)]
@@ -807,6 +872,16 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     # sharded shuffle capacity overflow (mesh path; 0 single-device)
     meta.append(out.get("shuffle_overflow",
                         jnp.zeros((), jnp.int64)).astype(jnp.int64))
+    # device-prune marker: >0 = table holds the top `pruned` rows only,
+    # followed by whole-table count/sample totals so the host can keep
+    # the Cumulative row exact (the reference merges into Cumulative
+    # BEFORE PruneResults drops rows, aggregate.go:422-471)
+    meta.append(jnp.asarray(pruned, dtype=jnp.int64))
+    if pruned:
+        meta.append(jnp.sum(out["count"]))
+        meta.append(jnp.sum(out["samples"]))
+    else:
+        meta += [jnp.zeros((), jnp.int64), jnp.zeros((), jnp.int64)]
 
     # histogram prefix rides the same buffer: one download per batch
     if hist_ais:

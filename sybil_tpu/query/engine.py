@@ -167,8 +167,20 @@ class BoundQuery:
                 else:
                     key_bounds.append((info.min, info.max - info.min + 1))
 
+        # sorted-strategy key packing: exact only when every group key is
+        # dictionary-bounded (str dict ids never exceed the dict); int
+        # and time bounds come from outlier-resistant IntInfo and can be
+        # exceeded at runtime, so they disqualify
+        sort_pack = ()
+        if (params.groups and not params.distincts
+                and params.time_bucket <= 0
+                and all(self.col_types[g] == STR_VAL
+                        for g in params.groups)):
+            sort_pack = tuple(key_bounds)
+
         self.config = scanops.ScanConfig(
             group_cols=params.groups,
+            sort_pack=sort_pack,
             aggs=tuple(aggspecs),
             filters=tuple(filter_specs),
             distinct_cols=params.distincts,
@@ -550,6 +562,7 @@ def run_query(table: Table, params: QueryParams,
             acc.merge_from(sub)
             acc.maybe_prune()
     else:
+        _maybe_device_prune(bound, params, block_dirs, B)
         acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
 
     if flags.read_log:
@@ -560,6 +573,37 @@ def run_query(table: Table, params: QueryParams,
         qr = acc.finish()
     timer.report("query")
     return qr
+
+
+def _maybe_device_prune(bound: BoundQuery, params: QueryParams,
+                        block_dirs: list[str], B: int) -> None:
+    """Run PruneResults ON the chip (ScanConfig.prune_topk): when a scan
+    spans multiple batches, each batch ships only its top 10*limit
+    (<=1000) group rows instead of the full (up to 100k-slot) table —
+    same approximation as the reference's intermediate CombineAndPrune
+    (aggregate.go:347,469-471), but the ranking, selection, and download
+    shrink all happen on device.  Engaged only where it is exactly the
+    host prune's semantics: multi-batch, plain-count/avg aggs (no hist
+    bucket or HLL lanes to carry), no time rollup (host prune ranks
+    whole groups across buckets), prune metric = $COUNT or an agg mean."""
+    import dataclasses as _dc
+
+    p = params
+    if not p.prune_by or p.limit <= 0 or len(block_dirs) <= B:
+        return
+    if p.distincts or p.time_bucket > 0:
+        return
+    if any(a.num_values > 0 for a in bound.config.aggs):
+        return
+    pagg = -1
+    if p.prune_by != SORT_COUNT:
+        cols = [a.col for a in p.aggs]
+        if p.prune_by not in cols:
+            return
+        pagg = cols.index(p.prune_by)
+    cap = min(p.limit * 10, 1000)
+    bound.config = _dc.replace(bound.config, prune_topk=cap,
+                               prune_agg=pagg)
 
 
 class _ScanCtx:
@@ -839,6 +883,9 @@ class _Accumulator:
         # key tuple -> accumulated plain sums
         self.rows: dict[tuple, dict] = {}
         self.matched_count = 0
+        # device-pruned rows' count/sample sums (kept for Cumulative)
+        self.cum_extra_count = 0
+        self.cum_extra_samples = 0
         self.sample_rows: list[dict] = []
         self.batches = 0
         # intermediate top-k pruning (CombineAndPrune/PruneResults,
@@ -872,6 +919,8 @@ class _Accumulator:
         """Merge another accumulator's rows (cached group partials or a
         scoped sub-scan) into this one."""
         self.matched_count += other.matched_count
+        self.cum_extra_count += other.cum_extra_count
+        self.cum_extra_samples += other.cum_extra_samples
         self.batches += other.batches
         for kt, row in other.rows.items():
             mine = self.rows.get(kt)
@@ -921,9 +970,11 @@ class _Accumulator:
 
     def maybe_prune(self) -> None:
         """Intermediate prune between batch merges: keep the top
-        prune_cap groups by the prune metric, drop the rest (their
-        partial counts are lost — the same approximation the reference
-        makes)."""
+        prune_cap groups by the prune metric, drop the rest.  Dropped
+        rows' count/sample sums are banked for the Cumulative row — the
+        reference merges into Cumulative BEFORE PruneResults drops rows
+        (aggregate.go:422-471) — but their per-group identity is lost,
+        the same approximation the reference makes."""
         if not self.prune_cap or self.batches < 2:
             return
         if self.num_group_rows() <= self.prune_cap:
@@ -934,8 +985,14 @@ class _Accumulator:
         ranked = sorted(by_group, key=lambda g: self._prune_score(by_group[g]),
                         reverse=True)
         keep = set(ranked[: self.prune_cap])
-        self.rows = {kt: row for kt, row in self.rows.items()
-                     if self._group_part(kt) in keep}
+        kept_rows = {}
+        for kt, row in self.rows.items():
+            if self._group_part(kt) in keep:
+                kept_rows[kt] = row
+            else:
+                self.cum_extra_count += row["count"]
+                self.cum_extra_samples += row["samples"]
+        self.rows = kept_rows
 
     def absorb_packed(self, packed, out, R: int) -> int:
         """Parse the single packed download (ops/scan.py pack_outputs):
@@ -971,6 +1028,10 @@ class _Accumulator:
         nouts = {ai: int(meta[2 + i]) for i, ai in enumerate(hist_ais)}
         npairs = int(meta[2 + len(hist_ais)])
         overflow = int(meta[3 + len(hist_ais)])
+        pi = 4 + len(hist_ais)
+        pruned = int(meta[pi]) if pi < main.shape[1] else 0
+        if pruned:
+            total_count, total_samples = int(meta[pi + 1]), int(meta[pi + 2])
         if overflow > 0:
             # shuffle capacity exceeded (extreme key-hash clustering or
             # more merged groups than table slots): refuse to return a
@@ -978,11 +1039,15 @@ class _Accumulator:
             error("sharded shuffle overflowed by", overflow,
                   "group rows; raise -max-groups or use fewer data shards")
 
-        if num_groups > config.max_groups:
+        if num_groups > config.max_groups and not pruned:
             warn("group cap", config.max_groups,
                  "exceeded; highest-keyed groups dropped")
         if dense:
             n = P                      # actives scattered over the slots
+        elif pruned:
+            # the device already top-k'd the table (PruneResults on-chip,
+            # ScanConfig.prune_topk): only the best rows were shipped
+            n = min(num_groups, pruned)
         else:
             n = min(num_groups, S)
 
@@ -994,7 +1059,18 @@ class _Accumulator:
         counts = table[:, K]
         samples = table[:, K + 1]
         active = np.nonzero((samples != 0) | (counts != 0))[0]
-        self.matched_count += int(samples[active].sum())
+        if pruned:
+            # kept rows undercount: use the device-side totals, and bank
+            # the dropped rows' sums for the Cumulative row (the
+            # reference's Cumulative keeps pruned rows' counts,
+            # aggregate.go:422-471)
+            self.matched_count += total_samples
+            kept_c = int(counts[active].sum())
+            kept_s = int(samples[active].sum())
+            self.cum_extra_count += total_count - kept_c
+            self.cum_extra_samples += total_samples - kept_s
+        else:
+            self.matched_count += int(samples[active].sum())
 
         Ph = min(config.hist_prefix, config.hist_slots)
         hist_row_of = None
@@ -1241,6 +1317,9 @@ class _Accumulator:
             cumulative.group_key += GROUP_DELIMITER * (len(p.groups) - 1)
         for res in flat.values():
             cumulative.combine(res)
+        # rows the device prune dropped still count toward the total
+        cumulative.count += self.cum_extra_count
+        cumulative.samples += self.cum_extra_samples
         qr.cumulative = cumulative
 
         self._sort(qr)

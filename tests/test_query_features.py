@@ -230,3 +230,46 @@ def test_phase_timing_report(tmp_table, capfd):
     assert "QUERY TIMING wall" in err
     for phase in ("bind", "load", "dispatch", "drain", "finish"):
         assert phase in err
+
+
+def test_device_prune_keeps_cumulative_exact(tmp_table):
+    """Pruned-away rows still count toward Cumulative/matched (the
+    reference merges into Cumulative BEFORE PruneResults drops rows,
+    aggregate.go:422-471); the device prune ships whole-table totals in
+    the packed meta row to preserve that."""
+    tmp_table.device_batch = 2
+    t, total = make_skewed_table(tmp_table)
+    params = QueryParams(groups=("uid",), limit=3, prune_by="$COUNT")
+    qr = run_query(t, params, tmp_table)
+    assert len(qr.results) <= 30          # pruning really happened
+    assert qr.matched_count == total
+    assert qr.cumulative.count == total
+
+
+def test_packed_sort_high_cardinality_with_missing(tmp_table):
+    """Str-only group keys pack into one mixed-radix sort key
+    (ScanConfig.sort_pack); parity vs the oracle must hold for
+    high-cardinality dicts (sorted strategy) including rows where a
+    group column is missing entirely."""
+    tmp_table.device_batch = 4
+    t = Table(tmp_table.table, tmp_table)
+    rng = np.random.default_rng(3)
+    n = 30000
+    uid = rng.zipf(1.3, n) % 9000
+    t.ingest_columns(ints={"v": rng.integers(0, 50, n).astype(np.int64)},
+                     strs={"u": [f"person{x}" for x in uid]})
+    # second batch adds a second str col -> first batch's rows miss it
+    t.ingest_columns(ints={"v": rng.integers(0, 50, n).astype(np.int64)},
+                     strs={"u": [f"person{x}" for x in uid],
+                           "u2": [f"g{x % 7}" for x in uid]})
+    params = QueryParams(groups=("u", "u2"), aggs=(AggDef("v", "avg"),),
+                         limit=10**9, prune_by="")
+    from sybil_tpu.query.engine import BoundQuery
+    assert BoundQuery(t, params, tmp_table).config.strategy == "sorted"
+    qr = run_query(t, params, tmp_table)
+    orc = run_oracle(t, params, tmp_table)
+    eng = {r.group_key: (r.count, round(r.hists["v"].mean(), 9))
+           for r in qr.results.values()}
+    oro = {r.group_key: (r.count, round(r.hists["v"].mean(), 9))
+           for r in orc.results.values()}
+    assert eng == oro
