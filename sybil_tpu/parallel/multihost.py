@@ -106,6 +106,37 @@ def global_batch(mesh, local: np.ndarray, axis: str = "d"):
         NamedSharding(mesh, spec), np.ascontiguousarray(local))
 
 
+def global_batch_device(mesh, local, axis: str = "d"):
+    """Local span -> global array sharded over `axis` WITHOUT a host
+    round trip: `local` (a jax array already on this process's device,
+    or numpy) is split across this process's mesh devices in mesh order
+    and stitched with make_array_from_single_device_arrays — pure local
+    metadata, no collective, no device->host->device copy.  This is what
+    lets the HBM residency cache work in multi-host mode: the per-column
+    decode result stays on its device and the assembled global array
+    (cached per batch) just references those buffers."""
+    import jax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axis, *([None] * (local.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    nproc = jax.process_count()
+    global_shape = (local.shape[0] * nproc,) + tuple(local.shape[1:])
+    pid = jax.process_index()
+    local_devs = [d for d in mesh.devices.flat
+                  if d.process_index == pid]
+    nd = len(local_devs)
+    if nd == 1:
+        shards = [jax.device_put(local, local_devs[0])]
+    else:
+        per = local.shape[0] // nd
+        shards = [jax.device_put(local[i * per: (i + 1) * per], dev)
+                  for i, dev in enumerate(local_devs)]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, shards)
+
+
 def fetch(x, mesh=None) -> np.ndarray:
     """np.asarray for possibly-sharded global arrays: replicate first
     (an all-gather) when this process cannot address every shard."""

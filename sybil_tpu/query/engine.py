@@ -288,14 +288,16 @@ class BatchLoader:
 
     def __init__(self, bound: BoundQuery, block_dirs: list[str], C: int,
                  expected: dict[str, int] | None = None, shards: int = 0,
-                 as_numpy: bool = False):
+                 global_mesh=None):
         self.bound = bound
         self.block_dirs = block_dirs
         self.C = C
         self.shards = shards   # >0: set-filter CSR built per mesh shard
-        # as_numpy: return host arrays (multi-host global-array assembly
-        # stitches them into jax.Arrays itself, parallel/multihost.py)
-        self.as_numpy = as_numpy
+        # global_mesh: multi-host mode — block_dirs is this process's
+        # local span of the global batch; decoded columns stay on their
+        # local devices and are stitched into mesh-sharded global arrays
+        # (parallel/multihost.py global_batch_device), cached per batch
+        self.global_mesh = global_mesh
         # num_records per block as captured at query start; a column whose
         # decoded length disagrees means the block was republished between
         # the info read and the column load — skip it, mirroring the
@@ -397,12 +399,23 @@ class BatchLoader:
                     set_cols[name].append((rows + bi * C, cd.values))
 
         from ..ops.residency import CACHE, block_col_key
+        gmesh = self.global_mesh
+        if gmesh is not None:
+            from ..parallel.multihost import global_batch_device
         for name in dense_names:
             typ = bound.col_types[name]
             block_keys = tuple(
                 block_col_key(bdir, blockio.column_file(typ, name), name, C)
                 for bdir in self.block_dirs)
             batch_key = ("batch", name, block_keys)
+            gkey = ("gbatch", name, block_keys, gmesh)
+            if gmesh is not None:
+                gent = CACHE.get(gkey)
+                if gent is not None:
+                    for bdir, ncol in zip(self.block_dirs, gent[2]):
+                        self._check_block(bdir, ncol)
+                    cols[name] = (gent[0], gent[1])
+                    continue
             ent = CACHE.get(batch_key)
             if ent is None:
                 ent = self._decode_batch_device(name, typ)
@@ -418,8 +431,14 @@ class BatchLoader:
                 CACHE.put(batch_key, ent)
             for bdir, ncol in zip(self.block_dirs, ent[2]):
                 self._check_block(bdir, ncol)
-            if self.as_numpy:
-                cols[name] = (np.asarray(ent[0]), np.asarray(ent[1]))
+            if gmesh is not None:
+                # stitch local device buffers into a mesh-sharded global
+                # array (no host round trip) and pin the result: warm
+                # multi-host queries re-upload nothing at all
+                gent = (global_batch_device(gmesh, ent[0]),
+                        global_batch_device(gmesh, ent[1]), ent[2])
+                CACHE.put(gkey, gent)
+                cols[name] = (gent[0], gent[1])
             else:
                 cols[name] = (ent[0], ent[1])
 
@@ -431,9 +450,12 @@ class BatchLoader:
         if not cols:
             # bare count(*) query: synthesize one lane so the kernel has a
             # shape to scan; row_in_range does the counting
-            xp = np if self.as_numpy else jnp
-            cols["__count__"] = (xp.zeros((B, C), dtype=xp.int64),
-                                 xp.ones((B, C), dtype=bool))
+            cnt = (jnp.zeros((B, C), dtype=jnp.int64),
+                   jnp.ones((B, C), dtype=bool))
+            if gmesh is not None:
+                cnt = (global_batch_device(gmesh, cnt[0]),
+                       global_batch_device(gmesh, cnt[1]))
+            cols["__count__"] = cnt
 
         set_aux = {}
         for name, chunks in set_cols.items():
@@ -512,7 +534,11 @@ def run_query(table: Table, params: QueryParams,
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(flags.data_shards)
         D = flags.data_shards
-        B = max(B, D) // D * D  # batch divides evenly across the mesh
+        # round UP to a mesh multiple: rounding down would split (say) 31
+        # blocks over 2 shards into TWO full-shape padded batches — the
+        # padded tail costs a whole batch of compute and erases the
+        # entire multi-device speedup
+        B = -(-B // D) * D
         if multihost:
             import jax
             nproc = jax.process_count()
@@ -707,7 +733,8 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                 local_dirs = batch_dirs[lo: lo + Bl]
                 with timer.phase("load"):
                     loader = BatchLoader(bound, local_dirs, C, expected,
-                                         shards=D // nproc, as_numpy=True)
+                                         shards=D // nproc,
+                                         global_mesh=mesh)
                     cols, nrec, set_aux = loader.load()
                 # zero global-padding blocks falling in this span
                 cut = max(0, min(len(batch) - lo, Bl))
@@ -721,9 +748,7 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                 with timer.phase("dispatch"):
                     from ..ops.scan import pack_jit
                     from ..parallel.mesh import sharded_scan
-                    jcols = {k: (mh.global_batch(mesh, v),
-                                 mh.global_batch(mesh, m))
-                             for k, (v, m) in cols.items()}
+                    jcols = cols   # already mesh-sharded global arrays
                     jnrec = mh.global_batch(mesh, nrec)
                     gsa = {}
                     R_local = (B // D) * C
