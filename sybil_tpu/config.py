@@ -77,7 +77,6 @@ class Flags:
     # TPU execution knobs (no reference equivalent)
     device_batch: int = 16           # blocks scanned per device dispatch
     max_groups: int = 0              # 0 -> INTERNAL_RESULT_LIMIT
-    max_hist_groups: int = 4096      # group cap when every group carries buckets
     platform: str = ""               # force jax platform ("cpu" for tests)
     data_shards: int = 0             # >1: shard the scan over a device mesh
     force_sorted: bool = False       # disable the dense MXU group-by path

@@ -95,7 +95,6 @@ class ScanConfig:
     time_col: str = ""           # non-empty => time-bucket rollup
     weight_col: str = ""
     max_groups: int = 100000
-    max_hist_groups: int = 4096
     track_outliers: bool = False
     want_matched_mask: bool = False
     # dense-strategy metadata, aligned with [time?, *group_cols]:
@@ -106,9 +105,10 @@ class ScanConfig:
     # packed-download shaping (host<->device sync is the expensive
     # resource: one buffer, no scalar reads)
     prefix_rows: int = 8192      # group rows downloaded eagerly
-    hist_prefix: int = 128       # hist group rows downloaded eagerly
+    hist_prefix: int = 128       # dense hist group rows downloaded eagerly
     max_out: int = 1024          # compacted outlier rows per agg
     max_pairs: int = 16384       # compacted distinct pairs
+    max_hist_pairs: int = 8192   # compacted (group, bucket) hist rows
     # device-side intermediate top-k (PruneResults, aggregate.go:469-471,
     # run ON the chip): >0 = ship only the prune_topk best group rows per
     # batch instead of the full table.  Sorted strategy, no hist/distinct
@@ -160,10 +160,6 @@ class ScanConfig:
     def table_slots(self) -> int:
         """Rows in the on-device group table."""
         return self.dense_slots or self.max_groups
-
-    @property
-    def hist_slots(self) -> int:
-        return self.dense_slots or self.max_hist_groups
 
 
 def _trunc_div(x, d):
@@ -674,22 +670,43 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             out[f"agg{ai}_max"] = mx[:, ai]
 
     if any_hist:
-        Sh = config.max_hist_groups
+        # Sparse histograms: instead of a [groups, nv] bucket matrix
+        # (whose size would cap hist queries far below max_groups =
+        # INTERNAL_RESULT_LIMIT, aggregate.go:15), emit compacted
+        # (group-key, bucket, Σweight) triples.  One extra [R] sort by
+        # the combined (gid, bucket) key yields segment sums whose
+        # unique count is bounded by the OCCUPIED buckets, not
+        # groups x nv — a 100k-group percentile query ships only the
+        # buckets its data actually touched.
+        idx2 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
         for ai, agg in enumerate(config.aggs):
             if agg.num_values <= 0:
                 continue
             v, keep = minmax_vs[ai]
             bv, inrange, is_out, nv = _hist_bucket(agg, v)
-            hcontrib = contrib & keep & inrange & (gid < Sh)
-            hgid = jnp.minimum(cgid, Sh - 1)
-            out[f"agg{ai}_hist"] = _hist_scatter(
-                hgid, hcontrib, sweight, bv, nv, Sh,
-                weighted=bool(config.weight_col))
+            hcontrib = contrib & keep & inrange
+            sent_pk = jnp.int64(S + 1) * nv
+            pairkey = jnp.where(hcontrib,
+                                cgid.astype(jnp.int64) * nv + bv, sent_pk)
+            w = jnp.where(hcontrib,
+                          sweight if config.weight_col else 1,
+                          0).astype(jnp.int64)
+            spk, si2 = jax.lax.sort([pairkey, idx2], num_keys=1)
+            sw = w[si2]
+            pb = jnp.concatenate(
+                [jnp.ones((1,), bool), spk[1:] != spk[:-1]])
+            seg = jnp.cumsum(pb.astype(jnp.int32)) - 1
+            wsum = jax.ops.segment_sum(sw, seg, num_segments=R)[seg]
+            valid = pb & (spk < sent_pk)
+            out[f"agg{ai}_hp_mask"] = valid
+            out[f"agg{ai}_hp_bv"] = jnp.where(valid, spk % nv, 0)
+            out[f"agg{ai}_hp_w"] = jnp.where(valid, wsum, 0)
+            out[f"agg{ai}_hp_keys"] = kmat[si2]
             if config.track_outliers:
                 # outliers keyed by group-key tuple (not local gid) so the
                 # host fix-up also works on sharded partials
                 _outlier_outputs(out, config, ai, hcontrib, is_out, v,
-                                 jnp.stack(gkeys, axis=1))
+                                 kmat)
 
     if config.want_matched_mask:
         out["matched"] = matched.reshape(B, C)
@@ -734,8 +751,9 @@ scan_batch = partial(jax.jit, static_argnums=(0,))(scan_core)
 def main_width(config: ScanConfig) -> int:
     K, A, D = config.n_key_cols, len(config.aggs), len(config.distinct_cols)
     # meta row: num_groups, spill, nout per hist agg, npairs, shuffle
-    # overflow, pruned marker, total count/samples (device-prune path)
-    return max(K + 2 + 5 * A, K + D + 1, 7 + A)
+    # overflow, pruned marker, total count/samples (device-prune path),
+    # nhistpairs per hist agg (sorted strategy)
+    return max(K + 2 + 5 * A, K + D + 1, 7 + 2 * A)
 
 
 def table_prefix(config: ScanConfig) -> int:
@@ -774,16 +792,22 @@ def packed_layout(config: ScanConfig, R: int) -> dict:
         layout["pairs"] = (off, kmax)
         off += kmax
     if hist_ais:
-        Ph = min(config.hist_prefix, config.hist_slots)
-        layout["Ph"] = Ph
         if config.strategy == "dense":
+            Ph = min(config.hist_prefix, config.dense_slots)
+            layout["Ph"] = Ph
             rows = -(-Ph // W)
             layout["hist_gids"] = (off, rows)
             off += rows
-        for ai in hist_ais:
-            rows = -(-(Ph * config.aggs[ai].num_values) // W)
-            layout[f"hist{ai}"] = (off, rows)
-            off += rows
+            for ai in hist_ais:
+                rows = -(-(Ph * config.aggs[ai].num_values) // W)
+                layout[f"hist{ai}"] = (off, rows)
+                off += rows
+        else:
+            Hcap = min(config.max_hist_pairs, R)
+            layout["Hcap"] = Hcap
+            for ai in hist_ais:
+                layout[f"hpair{ai}"] = (off, Hcap)
+                off += Hcap
     layout["rows"] = off
     return layout
 
@@ -883,20 +907,31 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     else:
         meta += [jnp.zeros((), jnp.int64), jnp.zeros((), jnp.int64)]
 
-    # histogram prefix rides the same buffer: one download per batch
-    if hist_ais:
+    # histogram sections ride the same buffer: one download per batch
+    if hist_ais and config.strategy == "dense":
+        # dense gids are spread over [0, slots): compact the active
+        # hist rows (count>0 or samples>0) and ship their gids along
         Ph = layout["Ph"]
-        if config.strategy == "dense":
-            # dense gids are spread over [0, slots): compact the active
-            # hist rows (count>0 or samples>0) and ship their gids along
-            live = ((out["count"] > 0) | (out["samples"] > 0))
-            _, gidx = jax.lax.top_k(live.astype(jnp.int32), Ph)
-            sections.append(flat_rows(gidx, layout["hist_gids"][1]))
-            hists = [out[f"agg{ai}_hist"][gidx] for ai in hist_ais]
-        else:
-            hists = [out[f"agg{ai}_hist"][:Ph] for ai in hist_ais]
-        for ai, h in zip(hist_ais, hists):
-            sections.append(flat_rows(h, layout[f"hist{ai}"][1]))
+        live = ((out["count"] > 0) | (out["samples"] > 0))
+        _, gidx = jax.lax.top_k(live.astype(jnp.int32), Ph)
+        sections.append(flat_rows(gidx, layout["hist_gids"][1]))
+        for ai in hist_ais:
+            sections.append(flat_rows(out[f"agg{ai}_hist"][gidx],
+                                      layout[f"hist{ai}"][1]))
+            meta.append(jnp.zeros((), jnp.int64))     # nhistpairs (dense: 0)
+    elif hist_ais:
+        # sorted strategy: compacted sparse (group-key, bucket, Σw) rows
+        Hcap = layout["Hcap"]
+        for ai in hist_ais:
+            mask = out[f"agg{ai}_hp_mask"]
+            _, idx = jax.lax.top_k(mask.astype(jnp.int32), Hcap)
+            block = jnp.concatenate(
+                [out[f"agg{ai}_hp_keys"][idx],
+                 out[f"agg{ai}_hp_bv"][idx][:, None],
+                 out[f"agg{ai}_hp_w"][idx][:, None],
+                 mask[idx][:, None].astype(jnp.int64)], axis=1)
+            sections.append(pad_to(block, W))
+            meta.append(jnp.sum(mask.astype(jnp.int64)))
 
     meta_row = jnp.zeros((1, W), jnp.int64)
     for i, m in enumerate(meta):

@@ -70,7 +70,15 @@ def make_mesh(n_devices: int = 0, axis: str = "d") -> Mesh:
 def _payload_spec(config: ScanConfig):
     K = config.n_key_cols
     A = len(config.aggs)
-    hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
+    # only the dense strategy's bounded bucket matrices ride the payload;
+    # sorted-strategy hists travel as sharded sparse pair rows that never
+    # enter the shuffle (they are keyed by group-key value, so the host
+    # merges them like outlier rows)
+    if config.strategy == "dense":
+        hist_ais = [ai for ai, a in enumerate(config.aggs)
+                    if a.num_values > 0]
+    else:
+        hist_ais = []
     nv_total = sum(config.aggs[ai].num_values for ai in hist_ais)
     n_sum = 2 + 3 * A + nv_total
     WP = K + n_sum + 2 * A
@@ -86,7 +94,7 @@ def _build_payload(config: ScanConfig, out: dict, Seff: int):
         cols += [out[f"agg{ai}_exists"][:Seff].astype(jnp.int64),
                  out[f"agg{ai}_count"][:Seff], out[f"agg{ai}_wv"][:Seff]]
     for ai in hist_ais:
-        h = out[f"agg{ai}_hist"]  # [hist_slots, nv], aligned with table rows
+        h = out[f"agg{ai}_hist"]  # [dense_slots, nv], aligned with table rows
         nv = config.aggs[ai].num_values
         hh = jnp.zeros((Seff, nv), jnp.int64)
         m = min(Seff, h.shape[0])
@@ -205,10 +213,10 @@ def _unpack_payload(config: ScanConfig, table, live, n_groups, spill,
         out[f"agg{ai}_count"] = jnp.where(live, table[:, off + 1], 0)
         out[f"agg{ai}_wv"] = jnp.where(live, table[:, off + 2], 0)
         off += 3
-    Sh = config.hist_slots
-    for ai in hist_ais:
+    for ai in hist_ais:      # dense only (_payload_spec)
         nv = config.aggs[ai].num_values
         h = jnp.where(live[:, None], table[:, off: off + nv], 0)
+        Sh = config.dense_slots
         hh = jnp.zeros((Sh, nv), jnp.int64)
         m = min(Sh, S)
         out[f"agg{ai}_hist"] = hh.at[:m].set(h[:m])
@@ -226,6 +234,12 @@ def _row_names(config: ScanConfig) -> list[str]:
         for ai, a in enumerate(config.aggs):
             if a.num_values > 0:
                 names += [f"agg{ai}_out_mask", f"agg{ai}_out_val"]
+    if config.strategy != "dense":
+        # sparse hist pair rows stay sharded; keyed by group-key value
+        for ai, a in enumerate(config.aggs):
+            if a.num_values > 0:
+                names += [f"agg{ai}_hp_mask", f"agg{ai}_hp_bv",
+                          f"agg{ai}_hp_w", f"agg{ai}_hp_keys"]
     if config.distinct_cols:
         names += ["pair_mask", "sorted_keys"]
     if config.want_matched_mask:
@@ -241,12 +255,9 @@ def _ceil_div(a: int, b: int) -> int:
 def _sharded_scan(config: ScanConfig, mesh: Mesh, axis: str,
                   cols, nrec, filter_vals, bitsets, time_bucket, set_aux):
     D = mesh.shape[axis]
-    any_hist = any(a.num_values > 0 for a in config.aggs)
-    # groups live in the first Seff table rows; hist queries bound the
-    # exchanged row count by the hist cap (matching the single-device
-    # "histogram group cap exceeded" semantics — excess errors loudly)
-    Seff = min(config.table_slots,
-               config.hist_slots if any_hist else config.table_slots)
+    # groups live in the first Seff table rows; sparse hist pairs do not
+    # ride the shuffle, so hist queries get the full group capacity
+    Seff = config.table_slots
     Sc = min(Seff, 2 * _ceil_div(Seff, D) + 128)      # per-dest capacity
     Sc2 = min(Seff, 2 * _ceil_div(Seff, D) + 128)     # owned compaction
     S = config.table_slots
@@ -303,7 +314,8 @@ def _sharded_scan(config: ScanConfig, mesh: Mesh, axis: str,
         for suffix in ("exists", "count", "wv", "min", "max"):
             merged_specs[f"agg{ai}_{suffix}"] = P()
         if a.num_values > 0:
-            merged_specs[f"agg{ai}_hist"] = P()
+            if config.strategy == "dense":
+                merged_specs[f"agg{ai}_hist"] = P()
             if config.track_outliers:
                 merged_specs[f"agg{ai}_nout"] = P()
     row_specs = {}

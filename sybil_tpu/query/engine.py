@@ -140,7 +140,6 @@ class BoundQuery:
                 sub_edges=sub_edges))
 
         max_groups = flags.max_groups or INTERNAL_RESULT_LIMIT
-        max_hist_groups = min(max_groups, flags.max_hist_groups)
 
         # dense-strategy key bounds ([time?, *groups]): str cols bound by
         # the global dictionary, int cols by table IntInfo min/max (which
@@ -187,7 +186,6 @@ class BoundQuery:
             time_col=params.time_col if params.time_bucket > 0 else "",
             weight_col=params.weight_col,
             max_groups=max_groups,
-            max_hist_groups=max_hist_groups,
             track_outliers=any(a.num_values > 0 for a in aggspecs),
             want_matched_mask=params.samples,
             key_bounds=tuple(key_bounds),
@@ -1057,6 +1055,8 @@ class _Accumulator:
         pruned = int(meta[pi]) if pi < main.shape[1] else 0
         if pruned:
             total_count, total_samples = int(meta[pi + 1]), int(meta[pi + 2])
+        nhps = {ai: int(meta[7 + len(hist_ais) + i])
+                for i, ai in enumerate(hist_ais)}
         if overflow > 0:
             # shuffle capacity exceeded (extreme key-hash clustering or
             # more merged groups than table slots): refuse to return a
@@ -1097,17 +1097,16 @@ class _Accumulator:
         else:
             self.matched_count += int(samples[active].sum())
 
-        Ph = min(config.hist_prefix, config.hist_slots)
         hist_row_of = None
-        if hist_ais:
+        if hist_ais and dense:
+            Ph = min(config.hist_prefix, config.dense_slots)
             hists_small = {
                 ai: section_flat(f"hist{ai}",
                                  Ph * config.aggs[ai].num_values)
                 .reshape(Ph, config.aggs[ai].num_values)
                 for ai in hist_ais}
-            if dense:
-                gids = section_flat("hist_gids", Ph)
-                hist_row_of = {int(g): i for i, g in enumerate(gids)}
+            gids = section_flat("hist_gids", Ph)
+            hist_row_of = {int(g): i for i, g in enumerate(gids)}
 
         aggdata = []
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
@@ -1119,25 +1118,20 @@ class _Accumulator:
                 "min": table[:, base + 3],
                 "max": table[:, base + 4],
             }
-            if ai in nouts:  # hist agg
-                Sh = config.hist_slots
-                if not dense and num_groups > Sh:
-                    error("histogram group cap", Sh, "exceeded",
-                          f"({num_groups} groups); raise flags.max_hist_groups")
-                hsmall = hists_small[ai]
-                if dense:
-                    if num_groups > Ph:   # actives overflow the compaction
-                        hfull = self.fetch(out[f"agg{ai}_hist"])
-                        d["hist_get"] = lambda gi, h=hfull: h[gi]
-                    else:
-                        d["hist_get"] = (
-                            lambda gi, h=hsmall, m=hist_row_of:
-                            h[m[gi]] if gi in m else None)
-                elif n > Ph:
-                    hfull = self.fetch(out[f"agg{ai}_hist"][:n])
-                    d["hist_get"] = lambda gi, h=hfull: h[gi]
+            if ai in nouts and dense:  # dense hist agg: bucket matrix
+                Ph = min(config.hist_prefix, config.dense_slots)
+                if num_groups > Ph:   # actives overflow the compaction:
+                    # gather ONLY the active slots' bucket rows on device
+                    # (never the full [slots, nv] matrix) before fetching
+                    hact = self.fetch(out[f"agg{ai}_hist"][active])
+                    pos = {int(g): i for i, g in enumerate(active)}
+                    d["hist_get"] = lambda gi, h=hact, m=pos: h[m[gi]]
                 else:
-                    d["hist_get"] = lambda gi, h=hsmall: h[gi]
+                    hsmall = hists_small[ai]
+                    d["hist_get"] = (
+                        lambda gi, h=hsmall, m=hist_row_of:
+                        h[m[gi]] if gi in m else None)
+            if ai in nouts:  # hist agg: outlier fix-up rows
                 if nouts[ai] > 0:
                     kmax = layout["kmax_out"]
                     off = layout[f"out{ai}"][0]
@@ -1211,6 +1205,27 @@ class _Accumulator:
                 if row is not None and row["aggs"][ai] is not None:
                     row["aggs"][ai]["outliers"].append(int(v))
 
+        if hist_ais and not dense:
+            # sorted strategy ships sparse (group-key, bucket, Σw) rows
+            # instead of bucket matrices (ops/scan.py sparse histograms)
+            for ai in hist_ais:
+                if nhps[ai] == 0:
+                    continue
+                if nhps[ai] > layout["Hcap"]:   # escalate to full arrays
+                    hm = self.fetch(out[f"agg{ai}_hp_mask"])
+                    hkeys = self.fetch(out[f"agg{ai}_hp_keys"])[hm]
+                    hbv = self.fetch(out[f"agg{ai}_hp_bv"])[hm]
+                    hw = self.fetch(out[f"agg{ai}_hp_w"])[hm]
+                else:
+                    off, rows = layout[f"hpair{ai}"]
+                    block = main[off: off + rows]
+                    hvalid = block[:, K + 2] != 0
+                    hkeys = block[hvalid, :K]
+                    hbv = block[hvalid, K]
+                    hw = block[hvalid, K + 1]
+                self._absorb_hist_pairs(ai, hkeys, hbv, hw,
+                                        config.aggs[ai].num_values)
+
         if p.distincts and npairs > 0:
             kmax = layout["kmax_pairs"]
             pairs_off = layout["pairs"][0]
@@ -1224,6 +1239,40 @@ class _Accumulator:
             self._absorb_distinct(skeys, K)
         self.batches += 1
         return 0
+
+    def _absorb_hist_pairs(self, ai: int, hkeys: np.ndarray,
+                           hbv: np.ndarray, hw: np.ndarray,
+                           nv: int) -> None:
+        """Merge sparse (group-key, bucket, Σw) hist rows into the group
+        table.  One np.add.at scatter builds a [unique-groups, nv] delta
+        which is then added per group — U*nv bounded work, no Python
+        per-pair loop."""
+        if hkeys.shape[0] == 0:
+            return
+        ukeys, inv = np.unique(hkeys, axis=0, return_inverse=True)
+        U = ukeys.shape[0]
+        if U * nv <= 64_000_000:
+            delta = np.zeros((U, nv), dtype=np.int64)
+            np.add.at(delta, (inv.reshape(-1), hbv.astype(np.int64)), hw)
+            for u, krow in enumerate(ukeys.tolist()):
+                row = self.rows.get(tuple(krow))
+                if row is None or row["aggs"][ai] is None:
+                    continue
+                cur = row["aggs"][ai]
+                if cur["hist"] is None:
+                    cur["hist"] = delta[u].copy()
+                else:
+                    cur["hist"] = cur["hist"] + delta[u]
+        else:  # degenerate: huge group count x huge bucket count
+            for krow, b, w in zip(hkeys.tolist(), hbv.tolist(),
+                                  hw.tolist()):
+                row = self.rows.get(tuple(krow))
+                if row is None or row["aggs"][ai] is None:
+                    continue
+                cur = row["aggs"][ai]
+                if cur["hist"] is None:
+                    cur["hist"] = np.zeros(nv, dtype=np.int64)
+                cur["hist"][int(b)] += int(w)
 
     def _absorb_distinct(self, skeys: np.ndarray, nkeys: int) -> None:
         from ..ops.scan import SENTINEL
