@@ -66,17 +66,29 @@ def cmd_ingest(argv):
     stream = open(args.infile) if args.infile else sys.stdin
     t = Table(flags.table, flags)
     if args.csv:
-        records = list(parse_csv(stream, flags))
+        parsed = parse_csv(stream, flags)
     else:
-        records = list(parse_json_lines(
+        parsed = parse_json_lines(
             stream, flags,
             excludes=frozenset(x for x in args.exclude.split(",") if x),
             int_casts=frozenset(x for x in args.ints.split(",") if x),
             timestamps=frozenset(x for x in args.timestamps.split(",") if x),
             timestamp_format=args.timestamp_format,
-            json_path=args.path))
-    t.ingest_records(records)
-    dbg.debug("ingested", len(records), "records into", flags.table)
+            json_path=args.path)
+    # stream in CHUNK_SIZE batches: constant memory on arbitrarily large
+    # pipes (the reference flushes every CHUNK_SIZE records too,
+    # cmd_ingest.go:188-226 -> ChunkAndSave table_io.go:376)
+    total, chunk = 0, []
+    for rec in parsed:
+        chunk.append(rec)
+        if len(chunk) >= constants.CHUNK_SIZE:
+            t.ingest_records(chunk)
+            total += len(chunk)
+            chunk = []
+    if chunk:
+        t.ingest_records(chunk)
+        total += len(chunk)
+    dbg.debug("ingested", total, "records into", flags.table)
     return 0
 
 

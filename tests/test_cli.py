@@ -188,3 +188,41 @@ def test_trim_list(db):
     out = run_cli(["trim", "-dir", db, "-table", "uptime", "-mb", "0",
                    "-before", "9999999999"])
     assert "block" in out  # every block is older than the far-future cutoff
+
+
+def test_streaming_ingest_constant_memory(tmp_path):
+    """CLI ingest flushes every CHUNK_SIZE records inside the parse loop
+    (cmd_ingest.go:188-226, ChunkAndSave table_io.go:376): peak RSS must
+    not grow with stream length.  Feeds ~340k records (5+ chunks) from a
+    generator pipe and asserts the child's maxrss stays far below what
+    buffering the whole stream would need."""
+    d = str(tmp_path / "db")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    feeder = (
+        "import json,sys\n"
+        "for i in range(340000):\n"
+        "    sys.stdout.write(json.dumps({'h': 'host%d' % (i % 50),"
+        " 'v': i % 997, 'pad': 'x' * 64, 'time': 1700000000 + i}) + '\\n')\n"
+    )
+    gen = subprocess.Popen([sys.executable, "-c", feeder],
+                           stdout=subprocess.PIPE)
+    ing = subprocess.Popen(
+        [sys.executable, "-m", "sybil_tpu", "ingest", "-dir", d,
+         "-table", "s", "-skip-compact"],
+        stdin=gen.stdout, stderr=subprocess.PIPE, cwd=REPO, env=env)
+    gen.stdout.close()
+    _, status, ru = os.wait4(ing.pid, 0)
+    gen.wait()
+    assert status == 0, ing.stderr.read()[-2000:].decode()
+    # ~340k records x ~200B+ of parsed dicts would exceed 600MB if
+    # buffered; the jax-free ingest path baseline is ~100MB.  Allow
+    # generous slack for interpreter overhead.
+    maxrss_mb = ru.ru_maxrss / 1024
+    assert maxrss_mb < 400, f"ingest peaked at {maxrss_mb:.0f} MB"
+    # every record made it into the row store
+    from sybil_tpu.config import Flags
+    from sybil_tpu.table import Table
+    from sybil_tpu import rowstore
+    t = Table("s", Flags(dir=d, table="s"))
+    n = sum(len(rowstore.read_log(f)) for f in rowstore.list_logs(t.dir))
+    assert n == 340000
