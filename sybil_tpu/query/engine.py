@@ -553,7 +553,17 @@ def run_query(table: Table, params: QueryParams,
         from . import cache as qcache
         acc = _Accumulator(bound)
         with timer.phase("cache_probe"):
-            groups, rest = qcache.stable_groups(block_dirs, infos)
+            # form groups over ALL full blocks — never the min/max-pruned
+            # list — so changing a filter constant cannot re-align group
+            # boundaries and orphan cache entries for unchanged blocks
+            # (the reference keys per block, query_cache.go:174-242, and
+            # so has no such coupling); pruned blocks are skipped INSIDE
+            # the group scan instead (they contribute zero matched rows
+            # by construction, should_scan_block == table_block_io.go
+            # min/max semantics)
+            scanset = set(block_dirs)
+            groups, rest = qcache.stable_groups(list(infos), infos)
+            rest = [d for d in rest if d in scanset]
             missed: list[tuple[str, list[str]]] = []
             hits = 0
             for gdirs in groups:
@@ -573,8 +583,12 @@ def run_query(table: Table, params: QueryParams,
         for k, gdirs in missed:
             if acc.distinct_limit_hit():
                 break
-            sub = _scan_dirs(ctx, gdirs, min(B, len(gdirs)),
-                             allow_prune=False)
+            live = [d for d in gdirs if d in scanset]
+            if live:
+                sub = _scan_dirs(ctx, live, min(B, len(live)),
+                                 allow_prune=False)
+            else:        # whole group pruned: cache the empty partial
+                sub = _Accumulator(bound)
             if mh.is_printer():  # one writer per mesh; others share disk
                 with timer.phase("cache_save"):
                     qcache.save_group_rows(table, k, sub)

