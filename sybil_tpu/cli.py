@@ -130,6 +130,7 @@ def _query_parser():
     p.add_argument("-time-bucket", "--time-bucket", type=int, default=3600)
     p.add_argument("-weight-col", "--weight-col", default="")
     p.add_argument("-loghist", "--loghist", action="store_true")
+    p.add_argument("-tdigest", "--tdigest", action="store_true")
     p.add_argument("-encode-results", "--encode-results", action="store_true")
     p.add_argument("-encode-flags", "--encode-flags", action="store_true")
     p.add_argument("-decode-flags", "--decode-flags", action="store_true")
@@ -183,6 +184,7 @@ def _flags_from_query_args(args) -> Flags:
     flags.time_bucket = args.time_bucket
     flags.weight_col = args.weight_col
     flags.log_hist = args.loghist
+    flags.tdigest = args.tdigest
     flags.encode_results = args.encode_results
     flags.encode_flags = args.encode_flags
     flags.decode_flags = args.decode_flags
@@ -372,7 +374,7 @@ def cmd_version(argv):
         "version": constants.VERSION,
         "engine": "jax-tpu",
         "features": {
-            "tdigest": False, "loghist": True, "distinct": True,
+            "tdigest": True, "loghist": True, "distinct": True,
             "time-rollup": True, "query-cache": True, "distributed": True,
         },
     }

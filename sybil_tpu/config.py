@@ -44,6 +44,7 @@ class Flags:
 
     # histograms
     log_hist: bool = False
+    tdigest: bool = False            # -op hist via t-digest (hist_tdigest.go)
     hist_bucket: int = 0             # -int-bucket override
 
     weight_col: str = ""

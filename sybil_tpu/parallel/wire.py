@@ -17,12 +17,23 @@ import base64
 import numpy as np
 
 from ..query.engine import QueryResults
-from ..query.hist import BasicHist, MultiHist
+from ..query.hist import BasicHist, MultiHist, TDigestHist
 from ..query.hll import HLL
 from ..query.spec import QueryParams, Result
 
 
 def hist_to_wire(h) -> dict:
+    if isinstance(h, TDigestHist):
+        # centroid form, the analog of the reference's gob AsBytes
+        # marshalling (hist_tdigest.go:30-45)
+        return {
+            "type": "tdigest",
+            "info_min": h.info_min, "info_max": h.info_max,
+            "hist_bucket": h.hist_bucket,
+            "avg": h.avg, "count": h.count, "samples": h.samples,
+            "outliers": list(h.outliers),
+            "centroids": list(h.td.centroids()),
+        }
     return {
         "type": "multi" if isinstance(h, MultiHist) else "basic",
         "info_min": h.info_min, "info_max": h.info_max,
@@ -37,6 +48,16 @@ def hist_to_wire(h) -> dict:
 
 
 def hist_from_wire(d: dict):
+    if d["type"] == "tdigest":
+        h = TDigestHist(d["info_min"], d["info_max"],
+                        d.get("hist_bucket", 0))
+        h.avg = d["avg"]
+        h.count = d["count"]
+        h.samples = d["samples"]
+        h.outliers = list(d.get("outliers", []))
+        means, weights = d["centroids"]
+        h.td.add_many(means, weights)
+        return h
     cls = MultiHist if d["type"] == "multi" else BasicHist
     h = cls(d["info_min"], d["info_max"], d.get("hist_bucket", 0),
             percentile_mode=d["percentile_mode"])

@@ -129,6 +129,8 @@ def _rows_to_wire(acc) -> dict:
                 "h": (None if cur["hist"] is None
                       else np.asarray(cur["hist"]).tolist()),
                 "o": list(cur["outliers"]),
+                **({"td": list(cur["td"].centroids())}
+                   if cur.get("td") is not None else {}),
             })
         d = None
         if row["distinct"] is not None:
@@ -151,13 +153,19 @@ def _rows_from_wire(data: dict, bound):
             if cur is None:
                 aggs.append(None)
                 continue
-            aggs.append({
+            a = {
                 "count": cur["c"], "wv": cur["w"],
                 "min": cur["mn"], "max": cur["mx"],
                 "hist": (None if cur["h"] is None
                          else np.asarray(cur["h"], dtype=np.int64)),
                 "outliers": list(cur["o"]),
-            })
+            }
+            if cur.get("td") is not None:
+                from .hist import TDigest
+                td = TDigest()
+                td.add_many(cur["td"][0], cur["td"][1])
+                a["td"] = td
+            aggs.append(a)
         distinct = None
         if d64 is not None:
             distinct = HLL()

@@ -128,6 +128,15 @@ class BoundQuery:
                 nv = sum(s[3] for s in subs)
                 bs = 0
                 sub_edges = tuple(subs)
+            elif want_hist and a.hist_type == "tdigest":
+                # -tdigest (hist_tdigest.go): value-identity buckets so
+                # the sparse device hist pairs carry (near-)exact values
+                # for the host t-digest; bucket only when the kept range
+                # exceeds the pairkey budget
+                span = max(info.max * 10 - info.min, 1)
+                cap = 1 << 20
+                bs = max(1, -(-span // cap))
+                nv = span // bs + 2
             elif want_hist:
                 bs, nv = basic_bucket_layout(info.min, info.max,
                                              params.hist_bucket)
@@ -189,7 +198,12 @@ class BoundQuery:
             track_outliers=any(a.num_values > 0 for a in aggspecs),
             want_matched_mask=params.samples,
             key_bounds=tuple(key_bounds),
-            force_sorted=flags.force_sorted,
+            # t-digest value-identity hists would blow up the dense
+            # strategy's [slots, nv] bucket matrix; the sorted strategy's
+            # sparse pairs carry them at no extra cost
+            force_sorted=flags.force_sorted or any(
+                a.op == "hist" and a.hist_type == "tdigest"
+                for a in params.aggs),
         )
         self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
         self.bitsets = tuple(bitsets)
@@ -984,6 +998,11 @@ class _Accumulator:
                 if cur["hist"] is not None:
                     m["hist"] = (cur["hist"] if m["hist"] is None
                                  else m["hist"] + cur["hist"])
+                if cur.get("td") is not None:
+                    if m.get("td") is None:
+                        m["td"] = cur["td"]
+                    else:
+                        m["td"].merge(cur["td"])
                 m["outliers"].extend(cur["outliers"])
             if row["distinct"] is not None:
                 if mine["distinct"] is None:
@@ -1263,6 +1282,31 @@ class _Accumulator:
         per-pair loop."""
         if hkeys.shape[0] == 0:
             return
+        _, _, hist_type = self.bound.agg_layouts[ai]
+        if hist_type == "tdigest":
+            # feed exact (value, Σw) pairs into per-group t-digests —
+            # no bucket arrays anywhere (hist.py TDigestHist)
+            from .hist import TDigest
+            spec = self.bound.config.aggs[ai]
+            vals = spec.hist_min + np.asarray(hbv, dtype=np.int64) \
+                * spec.bucket_size
+            ukeys, inv = np.unique(hkeys, axis=0, return_inverse=True)
+            order = np.argsort(inv.reshape(-1), kind="stable")
+            sinv = inv.reshape(-1)[order]
+            starts = np.searchsorted(sinv, np.arange(ukeys.shape[0]))
+            ends = np.append(starts[1:], sinv.size)
+            svals, sws = vals[order], np.asarray(hw)[order]
+            for u, krow in enumerate(ukeys.tolist()):
+                row = self.rows.get(tuple(krow))
+                if row is None or row["aggs"][ai] is None:
+                    continue
+                cur = row["aggs"][ai]
+                td = cur.get("td")
+                if td is None:
+                    td = cur["td"] = TDigest()
+                td.add_many(svals[starts[u]:ends[u]],
+                            sws[starts[u]:ends[u]])
+            return
         ukeys, inv = np.unique(hkeys, axis=0, return_inverse=True)
         U = ukeys.shape[0]
         if U * nv <= 64_000_000:
@@ -1440,6 +1484,16 @@ class _Accumulator:
         for (adef, (info, want_hist, hist_type), cur) in zip(
                 p.aggs, bound.agg_layouts, row["aggs"]):
             if cur is None:
+                continue
+            if want_hist and hist_type == "tdigest":
+                from .hist import TDigestHist
+                h = TDigestHist(info.min, info.max, p.hist_bucket)
+                h.load_device_partial(
+                    cur["count"], cur["wv"],
+                    outlier_values=cur["outliers"])
+                if cur.get("td") is not None:
+                    h.td.merge(cur["td"])
+                res.hists[adef.col] = h
                 continue
             cls = MultiHist if (want_hist and hist_type == "multi") else BasicHist
             h = cls(info.min, info.max, p.hist_bucket, percentile_mode=want_hist)

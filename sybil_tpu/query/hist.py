@@ -387,3 +387,208 @@ class MultiHist:
 
     def range_(self):
         return self.min, self.max
+
+
+# ---------------------------------------------------------------------------
+# t-digest (-tdigest): the reference's optional build-tag histogram
+# (hist_tdigest.go:1-130, build tag `tdigest`, honeycombio/go-tdigest).
+# Host-side merging t-digest (Dunning's k1 scale function) fed by the
+# device's sparse (group, value, Σweight) pairs — the engine switches the
+# hist agg to value-identity buckets so the digest sees (near-)exact
+# values, not bucket midpoints.  Mirrors the reference surface exactly,
+# including its quirks: Mean() returns the MEDIAN (hist_tdigest.go:61-63),
+# StdDev() is 0 (:92-94), and GetStrBuckets()/GetIntBuckets() are empty
+# (:105-119, "TODO: implement this!").
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Merging t-digest with the k1 scale function; compression=200
+    bounds centroids to ~compression regardless of stream length."""
+
+    def __init__(self, compression: int = 200):
+        self.compression = compression
+        self.means = np.zeros(0)
+        self.weights = np.zeros(0)
+        self._buf_v: list[float] = []
+        self._buf_w: list[float] = []
+        self._flip = False     # alternate merge direction per compress
+
+    def add_many(self, values, weights) -> None:
+        self._buf_v.extend(float(v) for v in values)
+        self._buf_w.extend(float(w) for w in weights)
+        if len(self._buf_v) > 8 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> None:
+        other._compress()
+        self._buf_v.extend(other.means.tolist())
+        self._buf_w.extend(other.weights.tolist())
+        self._compress()
+
+    def _compress(self) -> None:
+        if not self._buf_v and len(self.means) <= 2 * self.compression:
+            return
+        v = np.concatenate([self.means, np.asarray(self._buf_v)])
+        w = np.concatenate([self.weights, np.asarray(self._buf_w)])
+        self._buf_v, self._buf_w = [], []
+        if v.size == 0:
+            return
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        # alternating the merge direction between compress passes avoids
+        # the systematic tail bias of always sweeping left-to-right
+        # (Dunning's merging t-digest, computeCentroids alternation)
+        self._flip = not self._flip
+        if self._flip:
+            v, w = v[::-1], w[::-1]
+        total = w.sum()
+        # k1 scale: k(q) = (delta / 2pi) * asin(2q - 1); merge adjacent
+        # centroids while the merged centroid spans < 1 unit of k
+        d = float(self.compression)
+        out_m, out_w = [], []
+        cur_m, cur_w = v[0], w[0]
+        q0 = 0.0
+
+        def k(q):
+            return d / (2 * math.pi) * math.asin(
+                max(-1.0, min(1.0, 2 * q - 1)))
+
+        for i in range(1, v.size):
+            q2 = q0 + (cur_w + w[i]) / total
+            if k(q2) - k(q0) <= 1.0:
+                cur_m += (v[i] - cur_m) * (w[i] / (cur_w + w[i]))
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = v[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        if self._flip:
+            out_m.reverse()
+            out_w.reverse()
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def centroids(self):
+        """-> (means list, weights list) after flushing the buffer —
+        the serialization form (cache / node wire protocol)."""
+        self._compress()
+        return self.means.tolist(), self.weights.tolist()
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return 0.0
+        if self.means.size == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        # centroid i covers cumulative midpoint cum_i = sum(w[:i]) + w[i]/2
+        cum = np.cumsum(self.weights) - self.weights / 2
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1]
+                                             - self.means[i]))
+
+
+class TDigestHist:
+    """Reference-surface histogram backed by a TDigest
+    (hist_tdigest.go:16-130)."""
+
+    percentile_mode = True
+
+    def __init__(self, info_min: int, info_max: int, hist_bucket: int = 0,
+                 percentile_mode: bool = True, compression: int = 200):
+        self.info_min = int(info_min)
+        self.info_max = int(info_max)
+        self.hist_bucket = hist_bucket
+        self.count = 0
+        self.samples = 0
+        self.avg = 0.0             # true running mean (for sum())
+        self.td = TDigest(compression)
+        self.outliers: list[int] = []
+        self.underliers: list[int] = []
+        self.values = np.zeros(0, dtype=np.int64)   # no bucket array
+
+    def load_device_partial(self, count, wv_sum, bucket_counts=None,
+                            outlier_values=(), vmin=None, vmax=None,
+                            samples=0):
+        count = int(count)
+        if count:
+            self.avg = (self.avg * self.count + float(wv_sum)) / (
+                self.count + count)
+        self.count += count
+        self.samples += int(samples)
+        self.outliers.extend(int(v) for v in outlier_values)
+
+    def add_weighted_values(self, values, weights) -> None:
+        """Feed exact (value, Σweight) pairs from the device's sparse
+        hist rows."""
+        self.td.add_many(values, weights)
+
+    def add_weighted_value(self, value: int, weight: int,
+                           weight_mode: bool = False) -> None:
+        """Row-at-a-time path (RecordValues, hist_tdigest.go:66-73)."""
+        if value > self.info_max * HIST_OUTLIER_FACTOR or \
+                value < self.info_min:
+            return
+        if weight_mode or weight > 1:
+            self.samples += 1
+            self.count += weight
+        else:
+            self.count += 1
+        self.avg += ((float(value) - self.avg) / self.count) * weight
+        self.td.add_many([value], [weight])
+
+    def clone(self) -> "TDigestHist":
+        h = TDigestHist(self.info_min, self.info_max, self.hist_bucket)
+        h.combine(self)
+        return h
+
+    def combine(self, other: "TDigestHist") -> None:
+        """Combine (hist_tdigest.go:83-86) + count bookkeeping."""
+        total = self.count + other.count
+        if total:
+            self.avg = (self.avg * (self.count / total)
+                        + other.avg * (other.count / total))
+        self.count = total
+        self.samples += other.samples
+        self.outliers.extend(other.outliers)
+        self.td.merge(other.td)
+
+    # --- reference accessors (incl. quirks) ---
+    def mean(self) -> float:
+        """hist_tdigest.go:61-63: Mean() is Quantile(0.5) — the MEDIAN."""
+        return self.td.quantile(0.5)
+
+    def total_count(self) -> int:
+        return self.count
+
+    def sum(self) -> float:
+        return self.avg * float(self.count)
+
+    def get_percentiles(self) -> list[int]:
+        """hist_tdigest.go:96-103."""
+        if self.count == 0:
+            return []
+        return [int(self.td.quantile(i / 100.0)) for i in range(100)]
+
+    def get_stddev(self) -> float:
+        """hist_tdigest.go:92-94 returns 0."""
+        return 0.0
+
+    def get_sparse_buckets(self) -> dict[int, int]:
+        return {}      # hist_tdigest.go:112-119 "TODO: implement this!"
+
+    def get_str_buckets(self) -> dict[str, int]:
+        return {}      # hist_tdigest.go:105-110 "TODO: implement this!"
+
+    def range_(self):
+        """hist_tdigest.go:121-123: quantile(0)..quantile(1)."""
+        return int(self.td.quantile(0.0)), int(self.td.quantile(1.0))

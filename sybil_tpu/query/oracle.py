@@ -210,8 +210,13 @@ def run_oracle(table: Table, params: QueryParams,
                     continue
                 h = res.hists.get(adef.col)
                 if h is None:
-                    cls = MultiHist if (want_hist and hist_type == "multi") \
-                        else BasicHist
+                    if want_hist and hist_type == "tdigest":
+                        from .hist import TDigestHist
+                        cls = TDigestHist
+                    elif want_hist and hist_type == "multi":
+                        cls = MultiHist
+                    else:
+                        cls = BasicHist
                     h = cls(ainfo.min, ainfo.max, params.hist_bucket,
                             percentile_mode=want_hist)
                     res.hists[adef.col] = h

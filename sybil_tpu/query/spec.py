@@ -27,7 +27,7 @@ class FilterDef:
 class AggDef:
     col: str
     op: str           # "avg" | "hist" | ""
-    hist_type: str = "basic"   # "basic" | "multi"
+    hist_type: str = "basic"   # "basic" | "multi" | "tdigest"
 
 
 @dataclass
@@ -88,7 +88,8 @@ class QueryParams:
             distincts = groups
             groups = ()
 
-        hist_type = "multi" if flags.log_hist else "basic"
+        hist_type = ("tdigest" if flags.tdigest
+                     else "multi" if flags.log_hist else "basic")
         aggs = tuple(AggDef(c, op if op in ("avg", "hist") else "avg", hist_type)
                      for c in flags.split_list(flags.ints))
 

@@ -273,3 +273,86 @@ def test_packed_sort_high_cardinality_with_missing(tmp_table):
     oro = {r.group_key: (r.count, round(r.hists["v"].mean(), 9))
            for r in orc.results.values()}
     assert eng == oro
+
+
+def test_tdigest_hist_percentile_accuracy(tmp_path):
+    """-tdigest (hist_tdigest.go:1-130, build tag `tdigest`): percentile
+    accuracy vs an exact sort on skewed (lognormal-ish) data, fed from
+    the device's sparse (group, value, Σw) hist pairs.  Also checks the
+    reference's surface quirks: stddev 0, str buckets empty, Mean() is
+    the median."""
+    import numpy as np
+
+    from sybil_tpu.config import Flags
+    from sybil_tpu.query.engine import run_query
+    from sybil_tpu.query.spec import AggDef, QueryParams
+    from sybil_tpu.table import Table
+
+    flags = Flags(dir=str(tmp_path / "db"), table="td", skip_compact=True,
+                  device_batch=4, tdigest=True)
+    t = Table("td", flags)
+    rng = np.random.default_rng(3)
+    n = 200_000
+    v = np.round(np.exp(rng.normal(5, 1.2, n))).astype(np.int64) + 1
+    grp = rng.integers(0, 3, n).astype(np.int64)
+    t.ingest_columns(ints={"v": v, "g": grp,
+                           "time": np.arange(n, dtype=np.int64)})
+
+    params = QueryParams(groups=("g",),
+                         aggs=(AggDef("v", "hist", "tdigest"),))
+    qr = run_query(t, params, flags)
+    assert len(qr.results) == 3
+    for k, res in qr.results.items():
+        gval = int(k.rstrip("\t"))
+        h = res.hists["v"]
+        exact = np.sort(v[grp == gval])
+        assert res.count == exact.size
+        pct = h.get_percentiles()
+        for p in (10, 25, 50, 75, 90, 95, 99):
+            want = float(exact[int(p / 100 * exact.size)])
+            got = float(pct[p])
+            assert abs(got - want) <= max(0.02 * want, 2.0), (gval, p)
+        # reference quirks, mirrored deliberately:
+        assert h.get_stddev() == 0.0            # hist_tdigest.go:92-94
+        assert h.get_str_buckets() == {}        # hist_tdigest.go:105-110
+        med = float(exact[exact.size // 2])
+        assert abs(h.mean() - med) <= max(0.02 * med, 2.0)  # :61-63
+
+
+def test_tdigest_sharded_and_wire_roundtrip(tmp_path):
+    """t-digests merge across the mesh shards and survive the node wire
+    protocol (centroid marshalling, the analog of gob AsBytes)."""
+    import numpy as np
+
+    from sybil_tpu.config import Flags
+    from sybil_tpu.parallel.wire import hist_from_wire, hist_to_wire
+    from sybil_tpu.query.engine import run_query
+    from sybil_tpu.query.spec import AggDef, QueryParams
+    from sybil_tpu.table import Table
+
+    flags = Flags(dir=str(tmp_path / "db"), table="td", skip_compact=True,
+                  device_batch=8, tdigest=True)
+    t = Table("td", flags)
+    rng = np.random.default_rng(7)
+    n = 60_000
+    v = np.round(np.exp(rng.normal(4, 1.0, n))).astype(np.int64) + 1
+    grp = rng.integers(0, 4, n).astype(np.int64)
+    t.ingest_columns(ints={"v": v, "g": grp,
+                           "time": np.arange(n, dtype=np.int64)})
+    params = QueryParams(groups=("g",),
+                         aggs=(AggDef("v", "hist", "tdigest"),))
+    single = run_query(t, params, flags)
+    sharded = run_query(t, params,
+                        Flags(**{**vars(flags), "data_shards": 8}))
+    assert set(single.results) == set(sharded.results)
+    for k in single.results:
+        hs = single.results[k].hists["v"]
+        hd = sharded.results[k].hists["v"]
+        assert hs.total_count() == hd.total_count()
+        ps, pd = hs.get_percentiles(), hd.get_percentiles()
+        for p in (25, 50, 75, 95):
+            assert abs(ps[p] - pd[p]) <= max(0.03 * ps[p], 3.0), (k, p)
+        # wire roundtrip preserves the digest
+        rt = hist_from_wire(hist_to_wire(hs))
+        assert rt.total_count() == hs.total_count()
+        assert rt.get_percentiles()[50] == ps[50]
