@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Query-cache perf sweep: uncached vs cache-write vs cache-hit.
+
+Port of the reference's cache benchmark protocol
+(/root/reference/scripts/test_cache_results.py:29-47,118-160): the same
+15 query shapes, each timed three ways over the bench uptime table —
+  uncached   cache off
+  write      cache on, cold cache dir (scan + save group partials)
+  hit        cache on, warm cache dir (merge cached partials, scan only
+             the uncacheable trailing blocks)
+
+Runs in-process with warm jit (median of RUNS), so the numbers isolate
+engine+cache work from compile/tunnel noise.  Prints one row per query
+shape and a final JSON line with the sweep medians.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNS = 3
+N_ROWS = int(os.environ.get("CACHE_BENCH_ROWS", 8_000_000))
+
+# (params-builder name, label) — mirrors test_cache_results.py:29-47
+QUERIES = [
+    ("count", "COUNT(*)"),
+    ("avg", "AVG(ping)"),
+    ("hist", "HIST(ping)"),
+    ("time_avg", "AVG(ping) BUCKET(time,21600)"),
+    ("group", "GROUP BY host"),
+    ("distinct", "COUNT DISTINCT(host)"),
+    ("time_distinct", "DISTINCT(host) BUCKET(time,21600)"),
+    ("group_avg", "AVG(ping) GROUP BY host"),
+    ("group_avg_lim", "AVG(ping) GROUP BY host LIMIT 10"),
+    ("group_hist", "HIST(ping) GROUP BY host"),
+    ("re_filter", "AVG(ping) WHERE host ~= facebook|google"),
+    ("group2", "GROUP BY host,status"),
+    ("group2_avg", "AVG(ping) GROUP BY host,status"),
+    ("time_group_10", "AVG(ping) GROUP host,BUCKET LIMIT 10"),
+    ("time_group_100", "AVG(ping) GROUP host,BUCKET LIMIT 100"),
+]
+
+
+def build_params(kind):
+    from sybil_tpu.query.spec import AggDef, FilterDef, QueryParams
+
+    tb = dict(time_bucket=21600, time_col="time")
+    return {
+        "count": QueryParams(),
+        "avg": QueryParams(aggs=(AggDef("ping", "avg"),)),
+        "hist": QueryParams(aggs=(AggDef("ping", "hist"),)),
+        "time_avg": QueryParams(aggs=(AggDef("ping", "avg"),), **tb),
+        "group": QueryParams(groups=("host",)),
+        "distinct": QueryParams(distincts=("host",)),
+        "time_distinct": QueryParams(distincts=("host",), **tb),
+        "group_avg": QueryParams(groups=("host",),
+                                 aggs=(AggDef("ping", "avg"),)),
+        "group_avg_lim": QueryParams(groups=("host",),
+                                     aggs=(AggDef("ping", "avg"),),
+                                     limit=10),
+        "group_hist": QueryParams(groups=("host",),
+                                  aggs=(AggDef("ping", "hist"),)),
+        "re_filter": QueryParams(
+            aggs=(AggDef("ping", "avg"),),
+            filters=(FilterDef("host", "re", "facebook|google", "str"),)),
+        "group2": QueryParams(groups=("host", "status")),
+        "group2_avg": QueryParams(groups=("host", "status"),
+                                  aggs=(AggDef("ping", "avg"),)),
+        "time_group_10": QueryParams(groups=("host",),
+                                     aggs=(AggDef("ping", "avg"),),
+                                     limit=10, **tb),
+        "time_group_100": QueryParams(groups=("host",),
+                                      aggs=(AggDef("ping", "avg"),),
+                                      limit=100, **tb),
+    }[kind]
+
+
+def median_ms(fn):
+    walls = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        fn()
+        walls.append((time.time() - t0) * 1e3)
+    walls.sort()
+    return walls[len(walls) // 2]
+
+
+def main():
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # the ambient axon TPU plugin overrides JAX_PLATFORMS at import
+        # time; honor the env var (CPU smoke tests)
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:  # noqa: BLE001
+            pass
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".bench", "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench  # noqa: E402  (repo-root bench.py: dataset builder)
+    sys.modules.setdefault("bench_ds", bench)
+    from sybil_tpu.config import Flags
+    from sybil_tpu.query.engine import run_query
+
+    t, flags = bench.build_dataset(N_ROWS)
+    cache_dir = os.path.join(t.dir, "cache")
+    cflags = Flags(**{**vars(flags), "cache_queries": True})
+
+    rows = []
+    for kind, label in QUERIES:
+        params = build_params(kind)
+        run_query(t, params, flags)        # jit warm-up for this shape
+
+        if os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+        uncached = median_ms(lambda: run_query(t, params, flags))
+
+        def write_run():
+            if os.path.isdir(cache_dir):
+                shutil.rmtree(cache_dir)
+            run_query(t, params, cflags)
+        write = median_ms(write_run)
+
+        run_query(t, params, cflags)       # ensure warm cache
+        hit = median_ms(lambda: run_query(t, params, cflags))
+
+        rows.append({"query": label, "uncached_ms": round(uncached, 1),
+                     "write_ms": round(write, 1), "hit_ms": round(hit, 1)})
+        print(f"{label:42s} uncached {uncached:8.1f}ms  "
+              f"write {write:8.1f}ms  hit {hit:8.1f}ms", file=sys.stderr)
+
+    med = sorted(r["hit_ms"] / max(r["uncached_ms"], 1e-9)
+                 for r in rows)[len(rows) // 2]
+    print(json.dumps({"metric": "cache_sweep", "rows": N_ROWS,
+                      "n_queries": len(rows),
+                      "median_hit_over_uncached": round(med, 3),
+                      "table": rows}))
+
+
+if __name__ == "__main__":
+    main()
