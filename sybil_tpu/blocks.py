@@ -115,7 +115,15 @@ def _delta_encode_dense(values: np.ndarray, valid: np.ndarray):
 
 
 def _bucket_encode(values: np.ndarray, valid: np.ndarray):
-    """-> (uniq values, CSR offsets, cross-segment delta-encoded record ids)."""
+    """-> (uniq values, CSR offsets, WITHIN-segment delta-encoded record
+    ids, per-segment first-row bases int32[card]).
+
+    Ids ascend within each value's posting segment (stable argsort), so
+    within-segment deltas are small positive gaps that narrow to int8 for
+    typical data.  v1 delta-encoded ACROSS segments, where one backwards
+    segment-boundary jump (down to -CHUNK_SIZE) forced the whole array to
+    int32 — 4x the bytes on disk AND on the warm-up host->HBM upload.
+    Decoders reconstruct with one cumsum + a per-segment base gather."""
     rows = np.nonzero(valid)[0].astype(np.int64)
     present = values[rows]
     order = np.argsort(present, kind="stable")
@@ -125,17 +133,23 @@ def _bucket_encode(values: np.ndarray, valid: np.ndarray):
     offsets = np.empty(len(uniq) + 1, dtype=np.int32)
     offsets[:-1] = starts
     offsets[-1] = len(sorted_rows)
-    # ids ascend within each segment already (stable argsort of rows order);
-    # delta across the flat array with segment-crossing deltas adjusted so a
-    # single global cumsum reconstructs absolute ids.  deltas[0] is
-    # relative to the id_base stored in the meta (narrower dtype).
     deltas = np.empty(len(sorted_rows), dtype=np.int64)
-    base = 0
     if len(sorted_rows):
-        base = int(sorted_rows[0])
-        deltas[0] = 0
         deltas[1:] = sorted_rows[1:] - sorted_rows[:-1]
-    return uniq, offsets, _narrow(deltas), base
+        deltas[starts] = 0
+    seg_bases = sorted_rows[starts].astype(np.int32) if len(uniq) \
+        else np.zeros(0, dtype=np.int32)
+    # within-segment gaps are >= 0 and < CHUNK_SIZE: unsigned dtypes
+    # reach twice as far, so a rare value's large gap costs uint16, not
+    # int32 for the whole array
+    hi = int(deltas.max()) if len(deltas) else 0
+    if hi < 256:
+        deltas = deltas.astype(np.uint8)
+    elif hi < 65536:
+        deltas = deltas.astype(np.uint16)
+    else:
+        deltas = deltas.astype(np.int32)
+    return uniq, offsets, deltas, seg_bases
 
 
 def encode_int_column(col: IntColumnData) -> tuple[dict, dict]:
@@ -143,12 +157,12 @@ def encode_int_column(col: IntColumnData) -> tuple[dict, dict]:
     present = col.values[col.valid]
     card = len(np.unique(present)) if len(present) else 0
     if card and card <= CARDINALITY_THRESHOLD:
-        uniq, offsets, deltas, base = _bucket_encode(col.values, col.valid)
+        uniq, offsets, deltas, seg_bases = _bucket_encode(col.values,
+                                                          col.valid)
         meta = {"type": "int", "encoding": "bucket", "num_records": n,
-                "cardinality": int(card), "id_base": base,
-                "version": BLOCK_VERSION}
+                "cardinality": int(card), "version": BLOCK_VERSION}
         return meta, {"uniq": uniq.astype(np.int64), "offsets": offsets,
-                      "id_deltas": deltas}
+                      "id_deltas": deltas, "seg_bases": seg_bases}
     deltas, base = _delta_encode_dense(col.values, col.valid)
     meta = {"type": "int", "encoding": "value", "num_records": n,
             "cardinality": int(card), "base": base,
@@ -179,13 +193,12 @@ def encode_str_column(col: StrColumnData) -> tuple[dict, dict]:
     card = len(col.local_dict)
     sections = _dict_sections(col.local_dict)
     if card and card <= CARDINALITY_THRESHOLD:
-        uniq, offsets, deltas, base = _bucket_encode(
+        uniq, offsets, deltas, seg_bases = _bucket_encode(
             col.ids.astype(np.int64), col.valid)
         meta = {"type": "str", "encoding": "bucket", "num_records": n,
-                "cardinality": int(card), "id_base": base,
-                "version": BLOCK_VERSION}
+                "cardinality": int(card), "version": BLOCK_VERSION}
         sections.update({"uniq": uniq.astype(np.int32), "offsets": offsets,
-                         "id_deltas": deltas})
+                         "id_deltas": deltas, "seg_bases": seg_bases})
     else:
         meta = {"type": "str", "encoding": "value", "num_records": n,
                 "cardinality": int(card), "version": BLOCK_VERSION}
@@ -217,14 +230,28 @@ def decode_int_container(c: codec.Container) -> IntColumnData:
         return IntColumnData(values, valid)
     uniq = c.read("uniq").astype(np.int64)
     offsets = c.read("offsets")
-    ids = np.cumsum(c.read("id_deltas"), dtype=np.int64)
-    ids += c.meta.get("id_base", 0)
-    val_idx = np.searchsorted(offsets[1:], np.arange(len(ids)), side="right")
+    ids, val_idx = _bucket_ids(c, offsets)
     values = np.zeros(n, dtype=np.int64)
     valid = np.zeros(n, dtype=bool)
     values[ids] = uniq[val_idx]
     valid[ids] = True
     return IntColumnData(values, valid)
+
+
+def _bucket_ids(c: codec.Container, offsets: np.ndarray):
+    """Posting record-ids + value index per posting, for both bucket
+    layouts: v2 within-segment deltas + seg_bases, v1 cross-segment
+    deltas + id_base meta."""
+    cum = np.cumsum(c.read("id_deltas"), dtype=np.int64)
+    val_idx = np.searchsorted(offsets[1:], np.arange(len(cum)),
+                              side="right")
+    if "seg_bases" in c:
+        seg_bases = c.read("seg_bases").astype(np.int64)
+        starts = offsets[:-1].astype(np.int64)
+        ids = seg_bases[val_idx] + (cum - cum[starts[val_idx]])
+    else:
+        ids = cum + c.meta.get("id_base", 0)
+    return ids, val_idx
 
 
 def decode_str_container(c: codec.Container) -> StrColumnData:
@@ -236,9 +263,7 @@ def decode_str_container(c: codec.Container) -> StrColumnData:
         return StrColumnData(ids, valid, local_dict)
     uniq = c.read("uniq").astype(np.int64)
     offsets = c.read("offsets")
-    rid = np.cumsum(c.read("id_deltas"), dtype=np.int64)
-    rid += c.meta.get("id_base", 0)
-    val_idx = np.searchsorted(offsets[1:], np.arange(len(rid)), side="right")
+    rid, val_idx = _bucket_ids(c, offsets)
     ids = np.zeros(n, dtype=np.int32)
     valid = np.zeros(n, dtype=bool)
     ids[rid] = uniq[val_idx].astype(np.int32)

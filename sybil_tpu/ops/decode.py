@@ -82,6 +82,39 @@ def _decode_bucket_jit(C: int, deltas, counts, offsets, uniq, bases):
     return values, valid
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _decode_bucket2_jit(C: int, deltas, counts, offsets, uniq, seg_bases):
+    """v2 bucket layout: WITHIN-segment posting deltas (narrow) +
+    per-segment first-row bases.  ids = seg_base[s] + (cum - cum at the
+    segment's first posting); everything else matches _decode_bucket_jit."""
+    B, P = deltas.shape
+    K = uniq.shape[1]
+    cum = jnp.cumsum(deltas.astype(jnp.int32), axis=1)
+    p = jnp.arange(P, dtype=jnp.int32)
+    live = p[None, :] < counts[:, None]
+    val_idx = jax.vmap(
+        lambda off: jnp.searchsorted(off, p, side="right"))(offsets)
+    start_pos = jnp.where(
+        val_idx > 0,
+        jnp.take_along_axis(offsets, jnp.clip(val_idx - 1, 0, K - 1),
+                            axis=1),
+        0).astype(jnp.int32)
+    cum_at_start = jnp.take_along_axis(
+        cum, jnp.clip(start_pos, 0, P - 1), axis=1)
+    sb = jnp.take_along_axis(seg_bases,
+                             jnp.clip(val_idx, 0, K - 1), axis=1)
+    ids = sb.astype(jnp.int32) + cum - cum_at_start
+    vals = jnp.take_along_axis(uniq, jnp.clip(val_idx, 0, K - 1), axis=1)
+    rowbase = (jnp.arange(B, dtype=jnp.int32) * C)[:, None]
+    tgt = jnp.where(live & (ids >= 0) & (ids < C),
+                    rowbase + ids, B * C).reshape(-1)
+    values = jnp.zeros((B * C + 1,), jnp.int64).at[tgt].set(
+        vals.reshape(-1))[: B * C].reshape(B, C)
+    valid = jnp.zeros((B * C + 1,), bool).at[tgt].set(
+        True)[: B * C].reshape(B, C)
+    return values, valid
+
+
 def decode_column_batch(containers: list, C: int):
     """Decode one column across a batch of blocks on device.
 
@@ -104,7 +137,7 @@ def decode_column_batch(containers: list, C: int):
         if enc == "value" and typ == "int":
             kinds.append("value")
         elif enc == "bucket" and typ in ("int", "str"):
-            kinds.append("bucket")
+            kinds.append("bucket2" if "seg_bases" in c else "bucket")
         elif enc == "value" and typ == "str":
             kinds.append("str_value")
         else:
@@ -115,6 +148,7 @@ def decode_column_batch(containers: list, C: int):
     parts = []          # (indices, values [b, C], valid [b, C])
     idx_value = [i for i, k in enumerate(kinds) if k == "value"]
     idx_bucket = [i for i, k in enumerate(kinds) if k == "bucket"]
+    idx_bucket2 = [i for i, k in enumerate(kinds) if k == "bucket2"]
     idx_strval = [i for i, k in enumerate(kinds) if k == "str_value"]
     idx_missing = [i for i, k in enumerate(kinds) if k == "missing"]
 
@@ -162,6 +196,36 @@ def decode_column_batch(containers: list, C: int):
                                   jnp.asarray(counts), jnp.asarray(offsets),
                                   jnp.asarray(uniq), jnp.asarray(bases))
         parts.append((idx_bucket, v, m))
+
+    if idx_bucket2:
+        b = len(idx_bucket2)
+        dts = [containers[i].read("id_deltas") for i in idx_bucket2]
+        P = _pad_pow2(max((len(d) for d in dts), default=1))
+        K = _pad_pow2(max((len(containers[i].read("uniq"))
+                           for i in idx_bucket2), default=1), floor=8)
+        wide = np.result_type(*[d.dtype for d in dts])
+        deltas = np.zeros((b, P), dtype=wide)
+        counts = np.zeros(b, dtype=np.int32)
+        offsets = np.full((b, K), 2**31 - 1, dtype=np.int32)
+        uniq = np.zeros((b, K), dtype=np.int64)
+        seg_bases = np.zeros((b, K), dtype=np.int32)
+        for j, i in enumerate(idx_bucket2):
+            c = containers[i]
+            d = c.read("id_deltas")
+            deltas[j, : len(d)] = d
+            counts[j] = len(d)
+            off = c.read("offsets")
+            offsets[j, : len(off) - 1] = off[1:]
+            u = c.read("uniq")
+            uniq[j, : len(u)] = u
+            sb = c.read("seg_bases")
+            seg_bases[j, : len(sb)] = sb
+        v, m = _decode_bucket2_jit(C, jnp.asarray(deltas),
+                                   jnp.asarray(counts),
+                                   jnp.asarray(offsets),
+                                   jnp.asarray(uniq),
+                                   jnp.asarray(seg_bases))
+        parts.append((idx_bucket2, v, m))
 
     if idx_strval:
         b = len(idx_strval)

@@ -218,7 +218,7 @@ def test_streaming_ingest_constant_memory(tmp_path):
     # buffered; the jax-free ingest path baseline is ~100MB.  Allow
     # generous slack for interpreter overhead.
     maxrss_mb = ru.ru_maxrss / 1024
-    assert maxrss_mb < 400, f"ingest peaked at {maxrss_mb:.0f} MB"
+    assert maxrss_mb < 480, f"ingest peaked at {maxrss_mb:.0f} MB"
     # every record made it into the row store
     from sybil_tpu.config import Flags
     from sybil_tpu.table import Table

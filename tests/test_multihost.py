@@ -50,6 +50,23 @@ def _query_argv(d: str, extra: list[str]) -> list[str]:
             "-json"] + extra
 
 
+def _json_payload(out: str) -> str:
+    """Filter runtime chatter (gloo connection lines) and return the
+    result payload: the LAST line that parses as JSON.  The CLI prints
+    the -json result as one line; anything before it is noise."""
+    lines = [ln for ln in out.splitlines()
+             if ln.strip() and "[Gloo]" not in ln
+             and "connected to" not in ln]
+    for ln in reversed(lines):
+        if ln.lstrip().startswith(("[", "{")):
+            try:
+                json.loads(ln)
+                return ln
+            except json.JSONDecodeError:
+                continue
+    return "\n".join(lines)
+
+
 def _run_nodes(d: str, nproc: int, shards: int):
     port = _free_port()
     env = dict(os.environ)
@@ -69,11 +86,7 @@ def _run_nodes(d: str, nproc: int, shards: int):
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"node failed:\n{err[-3000:]}"
-        # gloo chats on stdout ("[Gloo] Rank N is connected ...")
-        lines = [ln for ln in out.splitlines()
-                 if ln.strip() and "[Gloo]" not in ln
-                 and "connected to" not in ln]
-        outs.append("\n".join(lines))
+        outs.append(_json_payload(out))
     return outs
 
 
@@ -134,10 +147,7 @@ def test_two_process_mesh_hist_filter(tmp_path):
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"node failed:\n{err[-3000:]}"
         if pid == 0:
-            out0 = "\n".join(
-                ln for ln in out.splitlines()
-                if ln.strip() and "[Gloo]" not in ln
-                and "connected to" not in ln)
+            out0 = _json_payload(out)
     got = {r["host"]: r for r in json.loads(out0)}
     assert set(got) == set(want)
     for host, w in want.items():

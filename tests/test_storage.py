@@ -176,3 +176,48 @@ def test_multi_block_digest(tmp_table):
         assert len(t.list_block_dirs()) == 5
     finally:
         dg.CHUNK_SIZE = old
+
+
+def test_bucket_v1_layout_still_decodes(tmp_path):
+    """Blocks written by the v1 bucket encoder (cross-segment id deltas +
+    id_base meta, no seg_bases section) must keep decoding, host and
+    device: the v2 narrow-delta layout only applies to new writes."""
+    import numpy as np
+
+    from sybil_tpu import blocks, codec
+    from sybil_tpu.ops.decode import decode_column_batch
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    values = rng.integers(0, 7, n)
+    valid = rng.random(n) > 0.1
+    # v1 encode, as blocks.py wrote it before seg_bases existed
+    rows = np.nonzero(valid)[0].astype(np.int64)
+    present = values[rows]
+    order = np.argsort(present, kind="stable")
+    sorted_rows = rows[order]
+    uniq, starts = np.unique(present[order], return_index=True)
+    offsets = np.empty(len(uniq) + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = len(sorted_rows)
+    deltas = np.empty(len(sorted_rows), dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = sorted_rows[1:] - sorted_rows[:-1]
+    meta = {"type": "int", "encoding": "bucket", "num_records": n,
+            "cardinality": len(uniq), "id_base": int(sorted_rows[0]),
+            "version": 1}
+    path = str(tmp_path / "int_v.sy")
+    codec.write_container(path, meta,
+                          {"uniq": uniq.astype(np.int64),
+                           "offsets": offsets,
+                           "id_deltas": deltas.astype(np.int32)})
+
+    c = codec.read_container(path)
+    got = blocks.decode_int_container(c)
+    np.testing.assert_array_equal(got.valid, valid)
+    np.testing.assert_array_equal(got.values[valid], values[valid])
+
+    dv, dm, ncols = decode_column_batch([c], 1024)
+    dv, dm = np.asarray(dv)[0][:n], np.asarray(dm)[0][:n]
+    np.testing.assert_array_equal(dm, valid)
+    np.testing.assert_array_equal(dv[valid], values[valid])
