@@ -263,3 +263,76 @@ def test_set_nin(table):
                               filters=(FilterDef("age_set", "nin", "20",
                                                  "set"),)))
     assert len(qr.results) == 19            # :302-304
+
+
+def test_big_int_columns(tmp_path):
+    """column_store_test.go:143-208 (TestBigIntColumns): values above
+    2^50 survive WAL ingest, -read-log scanning, digestion, and block
+    decode without truncation."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.digest import digest_records
+
+    flags = Flags(dir=str(tmp_path / "db"), table="big",
+                  skip_compact=True, device_batch=3)
+    t = Table("big", flags)
+    rng = random.Random(5)
+    min_val = 1 << 50
+    recs = [flatten_record({"id": i, "time": min_val + rng.randrange(1 << 20)})
+            for i in range(300)]
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 100
+    try:
+        t.ingest_records(recs)
+        # row store reads back every record pre-digest (:168-170)
+        rl_flags = Flags(**{**vars(flags), "read_log": True})
+        qr = run_query(t, QueryParams(groups=("id",)), rl_flags)
+        assert sum(r.count for r in qr.results.values()) == 300
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    # every decoded value still >= 2^50 (:189-199, via samples)
+    qr = run_query(t, QueryParams(samples=True, limit=1000), flags)
+    assert len(qr.samples) > 0
+    for row in qr.samples:
+        assert row["time"] >= min_val, row
+    # and the aggregate path carries the magnitude exactly
+    qr = run_query(t, QueryParams(aggs=(AggDef("time", "avg"),)), flags)
+    for v in qr.results.values():
+        assert v.hists["time"].mean() >= min_val
+
+
+def test_sets_alignment(tmp_path):
+    """record_fields_test.go:7-80 (TestSets): per-record alignment of
+    int / str / set fields survives save + reload — for every sampled
+    row, id_str == str(id_int) == id_set[0], and age_str stays distinct
+    from id_str."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.digest import digest_records
+
+    flags = Flags(dir=str(tmp_path / "db"), table="sets",
+                  skip_compact=True, device_batch=3)
+    t = Table("sets", flags)
+    rng = random.Random(3)
+    min_count = 300
+    recs = []
+    for i in range(300):
+        age = rng.randrange(20) + min_count
+        recs.append(flatten_record({
+            "id_int": i, "id_set": [str(i), str(i)], "id_str": str(i),
+            "age": age, "age_str": str(age)}))
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 100
+    try:
+        t.ingest_records(recs)
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    qr = run_query(t, QueryParams(samples=True, limit=1000), flags)
+    assert len(qr.samples) > 0
+    for row in qr.samples:
+        ival = row["id_int"]                      # :35-38
+        sval = row["id_str"]                      # :43-46
+        setval = row["id_set"]                    # :39-42
+        assert sval == str(ival), row             # :55-57
+        assert setval and setval[0] == sval, row  # :59-61
+        assert row["age_str"] != sval, row        # :51-53
