@@ -294,11 +294,24 @@ class BlockInfo:
     int_info: dict[int, IntInfo]
     str_info: dict[int, StrInfo]
     size: int = 0
+    # EXACT per-column [min, max] over present values — unlike IntInfo,
+    # whose min/max replicate the reference's outlier-resistant update
+    # (table_column_info.go:75-131) and may UNDERSTATE the range.  The
+    # engine uses these to bound aggregation-lane magnitudes statically
+    # (ops/scan.py limb compression); absent for blocks written before
+    # the field existed, which simply disables the optimization.
+    int_exact: dict[int, tuple[int, int]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.int_exact is None:
+            self.int_exact = {}
 
     def to_json(self):
         return {"num_records": self.num_records,
                 "int_info": {str(k): v.to_json() for k, v in self.int_info.items()},
                 "str_info": {str(k): v.to_json() for k, v in self.str_info.items()},
+                "int_exact": {str(k): [int(lo), int(hi)]
+                              for k, (lo, hi) in self.int_exact.items()},
                 "size": self.size, "version": BLOCK_VERSION}
 
     @classmethod
@@ -306,7 +319,9 @@ class BlockInfo:
         return cls(d["num_records"],
                    {int(k): IntInfo.from_json(v) for k, v in d.get("int_info", {}).items()},
                    {int(k): StrInfo.from_json(v) for k, v in d.get("str_info", {}).items()},
-                   d.get("size", 0))
+                   d.get("size", 0),
+                   {int(k): (int(v[0]), int(v[1]))
+                    for k, v in d.get("int_exact", {}).items()})
 
 
 def compute_block_info(cols: dict[str, ColumnData], schema: Schema,
@@ -314,13 +329,17 @@ def compute_block_info(cols: dict[str, ColumnData], schema: Schema,
     n = 0
     int_info: dict[int, IntInfo] = {}
     str_info: dict[int, StrInfo] = {}
+    int_exact: dict[int, tuple[int, int]] = {}
     for name, col in cols.items():
         kid = schema.get_key_id(name)
         if isinstance(col, IntColumnData):
             n = max(n, len(col.values))
             info = IntInfo()
-            info.update_many(col.values[col.valid], skip_outliers)
+            present = col.values[col.valid]
+            info.update_many(present, skip_outliers)
             int_info[kid] = info
+            if len(present):
+                int_exact[kid] = (int(present.min()), int(present.max()))
         elif isinstance(col, StrColumnData):
             n = max(n, len(col.ids))
             si = StrInfo()
@@ -332,7 +351,7 @@ def compute_block_info(cols: dict[str, ColumnData], schema: Schema,
             str_info[kid] = si
         else:
             n = max(n, len(col.offsets) - 1)
-    return BlockInfo(n, int_info, str_info)
+    return BlockInfo(n, int_info, str_info, int_exact=int_exact)
 
 
 def save_block(table_dir: str, block_name: str, cols: dict[str, ColumnData],

@@ -122,6 +122,16 @@ class ScanConfig:
     # all keys into ONE mixed-radix integer (int32 when it fits),
     # halving sort payload.  (min, card) per group key; () = off.
     sort_pack: tuple[tuple[int, int], ...] = ()
+    # lane limb compression: per-sum-lane byte-limb counts in {1,2,4,8},
+    # aligned with [count, samples, (exists, kw, kwv)*A].  Derived at
+    # bind time from EXACT per-block column bounds (BlockInfo.int_exact):
+    # a 0/1-valued lane needs ONE byte limb, not eight, shrinking the
+    # MXU/scatter accumulation matrix up to 8x.  () = all lanes full
+    # width (legacy blocks without exact stats).  agg_vbias biases each
+    # agg's value nonneg (kwv' = kw*(v-bias)); the host reconstructs
+    # Σkwv = Σkwv' + bias*Σkw.
+    lane_limbs8: tuple[int, ...] = ()
+    agg_vbias: tuple[int, ...] = ()
 
     @property
     def n_key_cols(self) -> int:
@@ -210,6 +220,61 @@ def _recombine8(acc, L):
     return jnp.sum(u << sh[None, None, :], axis=-1).astype(jnp.int64)
 
 
+def _lane_limbs(config: ScanConfig, L: int) -> tuple[int, ...]:
+    """Per-lane byte-limb counts (ScanConfig.lane_limbs8, or all-8)."""
+    if config.lane_limbs8 and len(config.lane_limbs8) == L:
+        return config.lane_limbs8
+    return (8,) * L
+
+
+def _limbs8_ragged(lanes, limbs8):
+    """int64 [R, L] -> uint8 [R, T] keeping only each lane's first
+    limbs8[i] little-endian bytes (exact when the lane's addends are
+    nonneg and < 2^(8*limbs8[i]) — guaranteed by the bind-time bounds)."""
+    R, L = lanes.shape
+    b = jax.lax.bitcast_convert_type(lanes, jnp.uint8)     # [R, L, 8] LE
+    parts = [b[:, i, :k] for i, k in enumerate(limbs8)]
+    return jnp.concatenate(parts, axis=1)
+
+def _recombine8_ragged(acc, limbs8):
+    """int64 byte-limb sums [S, T] -> int64 [S, L] under the ragged
+    layout (full-width lanes recombine mod 2^64 as before)."""
+    outs = []
+    off = 0
+    for k in limbs8:
+        u = acc[:, off: off + k].astype(jnp.uint64)
+        sh = (jnp.arange(k, dtype=jnp.uint64) * 8)
+        outs.append(jnp.sum(u << sh[None, :], axis=-1).astype(jnp.int64))
+        off += k
+    return jnp.stack(outs, axis=1)
+
+
+def _nibbles_ragged(lanes, limbs8):
+    """int64 [R, L] -> int8 4-bit limbs [R, T2], keeping 2*limbs8[i]
+    nibbles per lane (the sorted-path analog of _limbs8_ragged)."""
+    R, L = lanes.shape
+    b = jax.lax.bitcast_convert_type(lanes, jnp.uint8)     # [R, L, 8] LE
+    lo = b & jnp.uint8(0xF)
+    hi = b >> jnp.uint8(4)
+    nib = jnp.stack([lo, hi], axis=-1).reshape(R, L, NIBBLES)
+    parts = [nib[:, i, :2 * k] for i, k in enumerate(limbs8)]
+    return jnp.concatenate(parts, axis=1).astype(jnp.int8)
+
+
+def _recombine_nib_ragged(acc, limbs8):
+    """int64 nibble sums [S, T2] -> int64 [S, L] under the ragged
+    layout."""
+    outs = []
+    off = 0
+    for k in limbs8:
+        n = 2 * k
+        u = acc[:, off: off + n].astype(jnp.uint64)
+        sh = (jnp.arange(n, dtype=jnp.uint64) * 4)
+        outs.append(jnp.sum(u << sh[None, :], axis=-1).astype(jnp.int64))
+        off += n
+    return jnp.stack(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # shared front end: filters, key lanes, weight, aggregation lanes
 # ---------------------------------------------------------------------------
@@ -289,19 +354,22 @@ def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
 
 def _agg_row_data(config: ScanConfig, cols, flat, matched, weight):
     """Per-agg (value, keep-mask) rows plus the stacked int64 sum lanes
-    [R, L] with L = 2 + 3*A: [count=w, samples=1, (exists, kw, kwv)*A]."""
+    [R, L] with L = 2 + 3*A: [count=w, samples=1, (exists, kw, kwv)*A].
+    With agg_vbias set, the kwv lane carries kw*(v-bias) — nonneg under
+    the bind-time exact bounds — and the host adds bias*Σkw back."""
     R = matched.shape[0]
     lanes = [jnp.where(matched, weight, 0),
              jnp.where(matched, 1, 0).astype(jnp.int64)]
     per_agg = []
-    for agg in config.aggs:
+    vbias = config.agg_vbias or (0,) * len(config.aggs)
+    for agg, bias in zip(config.aggs, vbias):
         avals, avalid = cols[agg.col]
         v, populated = flat(avals), flat(avalid)
         keep = matched & populated & ~((v > agg.discard_max) |
                                        (v < agg.discard_min))
         kw = jnp.where(keep, weight, 0)
         lanes += [jnp.where(matched & populated, 1, 0).astype(jnp.int64),
-                  kw, kw * v]
+                  kw, kw * (v - bias) if bias else kw * v]
         per_agg.append((v, keep))
     return jnp.stack(lanes, axis=1), per_agg
 
@@ -413,7 +481,7 @@ def _dense_decode_keys(config: ScanConfig, time_bucket):
     return jnp.stack(cols, axis=1)     # [slots, K]
 
 
-def _dense_reduce(gid, lanes64, minmax_vs, slots):
+def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
     """One fused chunked pass over the rows computing
       - exact int64 segment sums of all nibble lanes on the MXU, and
       - per-slot min/max for every aggregation value lane.
@@ -431,7 +499,10 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots):
     the traffic of int64; otherwise it falls back to exact int64."""
     R, L = lanes64.shape
     A = len(minmax_vs)
-    nib = _limbs8(lanes64)                       # [R, L*8] uint8, bitcast
+    if limbs8 is None:
+        limbs8 = (LIMBS8,) * L
+    nib = _limbs8_ragged(lanes64, limbs8)        # [R, T] uint8, bitcast
+    T = nib.shape[1]
     # chunk rows: the one-hot temp stays small AND ch*255 < 2^24 so the
     # f32 MXU accumulation of byte limbs is exact (65536*255 < 2^24)
     ch = max(_LANE, min(R, (1 << 25) // max(slots, 1), 1 << 16))
@@ -465,7 +536,7 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots):
         acc, mn, mx = state
         start = jnp.minimum(c * ch, R - ch)
         gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
-        sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, L * LIMBS8))
+        sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, T))
         fresh = (start + rix) >= c * ch          # clamp-overlap mask
         hit = (iot == gs[None, :]) & fresh[None, :]          # [slots, ch]
         oh = hit.astype(jnp.bfloat16)
@@ -486,10 +557,10 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots):
 
     acc, mn, mx = jax.lax.fori_loop(
         0, nchunk, body,
-        (jnp.zeros((slots, L * LIMBS8), jnp.int64),
+        (jnp.zeros((slots, T), jnp.int64),
          jnp.full((slots, max(A, 1)), BIG, mdt),
          jnp.full((slots, max(A, 1)), -BIG, mdt)))
-    sums = _recombine8(acc, L)                   # [slots, L]
+    sums = _recombine8_ragged(acc, limbs8)       # [slots, L]
     if A and all_f32:
         # f32 path: values were exact integers, so the cast back is exact;
         # empty slots read +/-BIG which the caller masks via exists/count
@@ -509,7 +580,8 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     for agg, (v, keep) in zip(config.aggs, per_agg):
         f32_ok = max(abs(agg.discard_min), abs(agg.discard_max)) < (1 << 24)
         minmax_vs.append((v, keep, f32_ok))
-    sums, mns, mxs = _dense_reduce(gid, lanes64, minmax_vs, slots)
+    sums, mns, mxs = _dense_reduce(gid, lanes64, minmax_vs, slots,
+                                   _lane_limbs(config, lanes64.shape[1]))
     # the dead slot must read as empty
     live_row = jnp.arange(slots) < slots - 1
     count = jnp.where(live_row, sums[:, 0], 0)
@@ -608,10 +680,11 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
                                               weight)
     slanes = lanes64[sidx]                      # one stacked row gather
     L = slanes.shape[1]
-    nib = _nibbles(jnp.where(contrib[:, None], slanes, 0))
-    acc = jnp.zeros((S + 1, L * NIBBLES), jnp.int32).at[cgid].add(
+    limbs8 = _lane_limbs(config, L)
+    nib = _nibbles_ragged(jnp.where(contrib[:, None], slanes, 0), limbs8)
+    acc = jnp.zeros((S + 1, nib.shape[1]), jnp.int32).at[cgid].add(
         nib.astype(jnp.int32))
-    sums = _recombine(acc[:S].astype(jnp.int64), L)   # [S, L]
+    sums = _recombine_nib_ragged(acc[:S].astype(jnp.int64), limbs8)
 
     # group keys: each segment's first row writes its key tuple — single
     # writer per slot, so an exact int32-pair scatter-add suffices

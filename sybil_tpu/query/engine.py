@@ -217,6 +217,82 @@ class BoundQuery:
             cols.add(params.weight_col)
         self.needed_cols = sorted(cols)
 
+    def apply_exact_bounds(self, infos: dict, block_dirs: list[str]) -> None:
+        """Derive the scan's lane limb-compression spec (ScanConfig.
+        lane_limbs8 / agg_vbias) from EXACT per-block column bounds
+        (BlockInfo.int_exact) over the blocks this query will scan.
+        0/1-valued lanes always take one byte limb; kw/kwv lanes
+        compress when the weight (and value) ranges are exactly bounded
+        and nonneg-biasable.  Any block without exact stats for a column
+        disables compression for the lanes that depend on it."""
+        import dataclasses as _dc
+
+        schema = self.table.schema
+
+        def exact(col: str):
+            kid = schema.key_table.get(col)
+            if kid is None:
+                return (0, 0)
+            lo = hi = None
+            for d in block_dirs:
+                info = infos.get(d)
+                if info is None:
+                    return None
+                e = getattr(info, "int_exact", {}).get(kid)
+                if e is None:
+                    if kid in info.int_info:
+                        return None   # column present but unbounded
+                    continue          # column absent: contributes nothing
+                lo = e[0] if lo is None else min(lo, e[0])
+                hi = e[1] if hi is None else max(hi, e[1])
+            return (0, 0) if lo is None else (lo, hi)
+
+        if self.config.weight_col:
+            wb = exact(self.config.weight_col)
+            if wb is not None and wb[0] >= 0:
+                # rows without the weight column weigh 1
+                wb = (0, max(wb[1], 1))
+            else:
+                wb = None
+        else:
+            wb = (0, 1)
+
+        def limbs_for(maxval: int) -> int:
+            if maxval < (1 << 8):
+                return 1
+            if maxval < (1 << 16):
+                return 2
+            if maxval < (1 << 32):
+                return 4
+            return 8
+
+        wmax = wb[1] if wb else 0
+        wl = limbs_for(wmax) if wb else 8
+        lanes = [wl, 1]
+        vbias = []
+        for agg in self.config.aggs:
+            lanes.append(1)          # exists
+            lanes.append(wl)         # kw
+            vb = exact(agg.col) if wb else None
+            done = False
+            if vb is not None:
+                vlo = max(vb[0], agg.discard_min)
+                vhi = min(vb[1], agg.discard_max)
+                if vhi < vlo:
+                    vlo = vhi = 0
+                bound = wmax * (vhi - vlo)
+                if bound < (1 << 35):
+                    lanes.append(limbs_for(bound))
+                    vbias.append(int(vlo))
+                    done = True
+            if not done:
+                lanes.append(8)
+                vbias.append(0)
+        if all(x == 8 for x in lanes):
+            return
+        self.config = _dc.replace(
+            self.config, lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias))
+
     @staticmethod
     def _trunc_div(x: int, d: int) -> int:
         q = abs(x) // d
@@ -523,6 +599,7 @@ def run_query(table: Table, params: QueryParams,
         infos = table.block_infos()
         block_dirs = [d for d, info in infos.items()
                       if bound.should_scan_block(info)]
+        bound.apply_exact_bounds(infos, block_dirs)
     skipped = len(infos) - len(block_dirs)
     if skipped:
         debug("skipped", skipped, "blocks via min/max pruning")
@@ -1142,12 +1219,17 @@ class _Accumulator:
             hist_row_of = {int(g): i for i, g in enumerate(gids)}
 
         aggdata = []
+        vbias = config.agg_vbias or ()
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
             base = K + 2 + 5 * ai
+            wv = table[:, base + 2]
+            if ai < len(vbias) and vbias[ai]:
+                # the device summed kw*(v-bias); add bias*Σkw back
+                wv = wv + vbias[ai] * table[:, base + 1]
             d = {
                 "exists": table[:, base] != 0,
                 "count": table[:, base + 1],
-                "wv": table[:, base + 2],
+                "wv": wv,
                 "min": table[:, base + 3],
                 "max": table[:, base + 4],
             }

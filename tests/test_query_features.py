@@ -356,3 +356,57 @@ def test_tdigest_sharded_and_wire_roundtrip(tmp_path):
         rt = hist_from_wire(hist_to_wire(hs))
         assert rt.total_count() == hs.total_count()
         assert rt.get_percentiles()[50] == ps[50]
+
+
+def test_lane_limb_compression_engages_and_stays_exact(tmp_path):
+    """Exact per-block bounds (BlockInfo.int_exact) shrink the device
+    sum lanes: 0/1 lanes take one byte limb and bounded kwv lanes bias
+    nonneg (ops/scan.py lane_limbs8).  Must engage on a bounded table
+    (including NEGATIVE values via the bias) and match the oracle
+    exactly, dense and sorted and sharded."""
+    import numpy as np
+
+    from sybil_tpu.config import Flags
+    from sybil_tpu.query.engine import BoundQuery, run_query
+    from sybil_tpu.query.oracle import run_oracle
+    from sybil_tpu.query.spec import AggDef, QueryParams
+    from sybil_tpu.table import Table
+
+    flags = Flags(dir=str(tmp_path / "db"), table="lb", skip_compact=True,
+                  device_batch=4)
+    t = Table("lb", flags)
+    rng = np.random.default_rng(9)
+    n = 50_000
+    g = rng.integers(0, 9, n).astype(np.int64)
+    v = rng.integers(-500, 900, n).astype(np.int64)     # negative values
+    w = rng.choice([1, 3, 10], n).astype(np.int64)
+    t.ingest_columns(ints={"g": g, "v": v, "w": w,
+                           "time": np.arange(n, dtype=np.int64)})
+
+    params = QueryParams(groups=("g",), aggs=(AggDef("v", "avg"),),
+                         weight_col="w")
+    # the spec engages: bounded lanes, nonzero bias for the negative col
+    t.load_info()
+    b = BoundQuery(t, params, flags)
+    b.apply_exact_bounds(t.block_infos(), list(t.block_infos()))
+    assert b.config.lane_limbs8, "compression did not engage"
+    assert b.config.lane_limbs8[1] == 1          # samples lane: one limb
+    assert any(x < 8 for x in b.config.lane_limbs8)
+    assert b.config.agg_vbias and b.config.agg_vbias[0] <= -500
+
+    e = run_query(t, params, flags)
+    o = run_oracle(t, params)
+    assert set(e.results) == set(o.results)
+    for k, orow in o.results.items():
+        erow = e.results[k]
+        assert erow.count == orow.count, k
+        eh, oh = erow.hists["v"], orow.hists["v"]
+        assert abs(eh.mean() - oh.mean()) < 1e-9 * max(1, abs(oh.mean())), k
+        assert abs(eh.sum() - oh.sum()) < 1e-6, k
+
+    sharded = run_query(t, params,
+                        Flags(**{**vars(flags), "data_shards": 8}))
+    for k in e.results:
+        assert sharded.results[k].count == e.results[k].count
+        assert abs(sharded.results[k].hists["v"].mean()
+                   - e.results[k].hists["v"].mean()) < 1e-9
