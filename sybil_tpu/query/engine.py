@@ -266,6 +266,45 @@ class BoundQuery:
                 return 4
             return 8
 
+        # exact bounds also upgrade the KEY bounds: IntInfo min/max are
+        # outlier-resistant and can be exceeded at runtime (dense spill
+        # retry, sort_pack exclusion for int cols); int_exact bounds are
+        # authoritative for the snapshot's rows, so dense int keys stop
+        # spilling and int group keys become sort-packable
+        p = self.params
+        key_bounds = list(self.config.key_bounds)
+        kb_exact = []
+        ki = 0
+        if self.config.time_col:
+            tb = exact(self.config.time_col)
+            if tb is not None and ki < len(key_bounds):
+                qlo = self._trunc_div(tb[0], p.time_bucket)
+                qhi = self._trunc_div(tb[1], p.time_bucket)
+                key_bounds[ki] = (qlo, qhi - qlo + 1)
+                kb_exact.append(True)
+            else:
+                kb_exact.append(False)
+            ki += 1
+        for g in p.groups:
+            if self.col_types.get(g) == STR_VAL:
+                kb_exact.append(True)      # dict-bounded, already exact
+            else:
+                gb = exact(g)
+                if gb is not None and ki < len(key_bounds):
+                    key_bounds[ki] = (gb[0], gb[1] - gb[0] + 1)
+                    kb_exact.append(True)
+                else:
+                    kb_exact.append(False)
+            ki += 1
+        sort_pack = self.config.sort_pack
+        if (p.groups and not p.distincts and p.time_bucket <= 0
+                and all(kb_exact) and not sort_pack):
+            prod = 1
+            for (_, card) in key_bounds:
+                prod *= card + 1
+            if 0 < prod < (1 << 62):    # packed key must fit int64
+                sort_pack = tuple(key_bounds)
+
         wmax = wb[1] if wb else 0
         wl = limbs_for(wmax) if wb else 8
         lanes = [wl, 1]
@@ -289,9 +328,11 @@ class BoundQuery:
                 lanes.append(8)
                 vbias.append(0)
         if all(x == 8 for x in lanes):
-            return
+            lanes, vbias = [], []
         self.config = _dc.replace(
-            self.config, lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias))
+            self.config,
+            key_bounds=tuple(key_bounds), sort_pack=sort_pack,
+            lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias))
 
     @staticmethod
     def _trunc_div(x: int, d: int) -> int:
