@@ -399,18 +399,25 @@ def _hist_bucket(agg: AggSpec, v):
     return bv, jnp.ones(v.shape, bool), is_out, nv
 
 
-def _hist_scatter(gid, hcontrib, weight, bv, nv, Sh, weighted=True):
-    """Weighted histogram counts [Sh, nv] via one exact stacked scatter."""
+def _hist_scatter(gid, hcontrib, weight, bv, nv, Sh, weighted=True,
+                  wlimbs8=8):
+    """Weighted histogram counts [Sh, nv] via one exact stacked scatter.
+    wlimbs8: byte-limb bound on the weight (ScanConfig.lane_limbs8[0])
+    — a bounded nonneg weight needs 2*wlimbs8 nibbles, not 16."""
     flat_id = jnp.where(hcontrib, gid * nv + bv, Sh * nv)
     if not weighted:
         # unweighted counts fit int32 exactly (one lane, 16x less traffic)
         acc = jnp.zeros((Sh * nv + 1,), jnp.int32).at[flat_id].add(
             jnp.int32(1))
         return acc[:Sh * nv].astype(jnp.int64).reshape(Sh, nv)
-    wl = _nibbles(jnp.where(hcontrib, weight, 0)[:, None])   # [R, 16]
-    acc = jnp.zeros((Sh * nv + 1, NIBBLES), jnp.int32).at[flat_id].add(
+    n = 2 * wlimbs8
+    wl = _nibbles(jnp.where(hcontrib, weight, 0)[:, None])[:, :n]
+    acc = jnp.zeros((Sh * nv + 1, n), jnp.int32).at[flat_id].add(
         wl.astype(jnp.int32))
-    return _recombine(acc[:Sh * nv].astype(jnp.int64), 1).reshape(Sh, nv)
+    u = acc[:Sh * nv].astype(jnp.uint64)
+    sh = (jnp.arange(n, dtype=jnp.uint64) * 4)
+    return jnp.sum(u << sh[None, :], axis=-1).astype(
+        jnp.int64).reshape(Sh, nv)
 
 
 def _outlier_outputs(out, config, ai, hcontrib, is_out, v, key_rows):
@@ -611,7 +618,9 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             hcontrib = keep & inrange
             out[f"agg{ai}_hist"] = _hist_scatter(
                 gid, hcontrib, weight, bv, nv, slots,
-                weighted=bool(config.weight_col))
+                weighted=bool(config.weight_col),
+                wlimbs8=(config.lane_limbs8[0]
+                         if config.lane_limbs8 else 8))
             if config.track_outliers:
                 _outlier_outputs(out, config, ai, hcontrib, is_out, v,
                                  key_rows)
@@ -678,10 +687,12 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
 
     lanes64, per_agg_unsorted = _agg_row_data(config, cols, flat, matched,
                                               weight)
-    slanes = lanes64[sidx]                      # one stacked row gather
-    L = slanes.shape[1]
+    L = lanes64.shape[1]
     limbs8 = _lane_limbs(config, L)
-    nib = _nibbles_ragged(jnp.where(contrib[:, None], slanes, 0), limbs8)
+    # extract limbs BEFORE the sort gather: the row permutation then
+    # moves T2 int8 limbs per row instead of 8L int64 bytes
+    nib_u = _nibbles_ragged(lanes64, limbs8)    # [R, T2] row order
+    nib = jnp.where(contrib[:, None], nib_u[sidx], jnp.int8(0))
     acc = jnp.zeros((S + 1, nib.shape[1]), jnp.int32).at[cgid].add(
         nib.astype(jnp.int32))
     sums = _recombine_nib_ragged(acc[:S].astype(jnp.int64), limbs8)
