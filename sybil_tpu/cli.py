@@ -54,6 +54,11 @@ def cmd_ingest(argv):
     p.add_argument("-infile", "--infile", default="")
     p.add_argument("-timestamps", "--timestamps", default="")
     p.add_argument("-timestamp-format", "--timestamp-format", default="")
+    # reference-CLI compatibility no-ops: the row store always uses the
+    # single WAL format here (cmd_ingest.go save-srb), and time-col only
+    # affects digestion ordering which reads the table flag
+    p.add_argument("-save-srb", "--save-srb", action="store_true")
+    p.add_argument("-time-col", "--time-col", default="time")
     args = p.parse_args(argv)
     flags = _base_flags(args)
     flags.skip_compact = args.skip_compact
@@ -149,6 +154,14 @@ def _query_parser():
     p.add_argument("-distinct-limit", "--distinct-limit", type=int, default=-1)
     p.add_argument("-read-log", "--read-log", action="store_true")
     p.add_argument("-cache-queries", "--cache-queries", action="store_true")
+    # accepted for reference-CLI compatibility; no-ops here: slab
+    # recycling and key-table shortening are obviated by the HBM
+    # residency cache and columnar loads (cmd_query.go:62,99,102)
+    p.add_argument("-recycle-mem", "--recycle-mem", action="store_true",
+                   default=True)
+    p.add_argument("-fast-recycle", "--fast-recycle", action="store_true")
+    p.add_argument("-shorten-key-table", "--shorten-key-table",
+                   action="store_true")
     p.add_argument("-device-batch", "--device-batch", type=int, default=16)
     p.add_argument("-data-shards", "--data-shards", type=int, default=0,
                    help="shard the scan over an N-device mesh")
