@@ -232,6 +232,10 @@ def _limbs8_ragged(lanes, limbs8):
     limbs8[i] little-endian bytes (exact when the lane's addends are
     nonneg and < 2^(8*limbs8[i]) — guaranteed by the bind-time bounds)."""
     R, L = lanes.shape
+    if all(k == 1 for k in limbs8):
+        # every lane fits one byte: the limb matrix is just a cast —
+        # no bitcast/slice/concatenate passes (profiled at ~20ms/64M)
+        return lanes.astype(jnp.uint8)
     b = jax.lax.bitcast_convert_type(lanes, jnp.uint8)     # [R, L, 8] LE
     parts = [b[:, i, :k] for i, k in enumerate(limbs8)]
     return jnp.concatenate(parts, axis=1)
@@ -552,6 +556,9 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
                                 preferred_element_type=jnp.float32)
         acc = acc + d.astype(jnp.int64)
         if A:
+            # scatter-min over [R] profiled ~10x WORSE than these masked
+            # broadcast reduces (XLA lowers 64M-row scatters to serial
+            # loops); keep min/max inside the chunk loop
             vs = jax.lax.dynamic_slice(vmat, (start, 0), (ch, A)).astype(mdt)
             ks = jax.lax.dynamic_slice(kmat, (start, 0), (ch, A))
             for a in range(A):
