@@ -590,12 +590,28 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     slots = config.dense_slots
     gid, spill = _dense_gid(config, keys, matched, time_bucket)
     lanes64, per_agg = _agg_row_data(config, cols, flat, matched, weight)
+    # per-group min/max feed only the hist paths (host Range() for the
+    # node aggregator's cross-node re-bucketing, fullMergeHist
+    # query_spec.go:118-135); avg-op aggs never consult them, and the
+    # masked min/max reduces are the single largest cost of the dense
+    # loop — track hist aggs only, emit empty-slot sentinels otherwise
+    track = [ai for ai, agg in enumerate(config.aggs)
+             if agg.num_values > 0]
     minmax_vs = []
-    for agg, (v, keep) in zip(config.aggs, per_agg):
+    for ai in track:
+        agg, (v, keep) = config.aggs[ai], per_agg[ai]
         f32_ok = max(abs(agg.discard_min), abs(agg.discard_max)) < (1 << 24)
         minmax_vs.append((v, keep, f32_ok))
-    sums, mns, mxs = _dense_reduce(gid, lanes64, minmax_vs, slots,
-                                   _lane_limbs(config, lanes64.shape[1]))
+    sums, mns_t, mxs_t = _dense_reduce(gid, lanes64, minmax_vs, slots,
+                                       _lane_limbs(config,
+                                                   lanes64.shape[1]))
+    tpos = {ai: i for i, ai in enumerate(track)}
+    A = len(config.aggs)
+    mns = jnp.full((slots, max(A, 1)), 2**62, jnp.int64)
+    mxs = jnp.full((slots, max(A, 1)), -2**62, jnp.int64)
+    for ai, i in tpos.items():
+        mns = mns.at[:, ai].set(mns_t[:, i])
+        mxs = mxs.at[:, ai].set(mxs_t[:, i])
     # the dead slot must read as empty
     live_row = jnp.arange(slots) < slots - 1
     count = jnp.where(live_row, sums[:, 0], 0)
@@ -746,19 +762,28 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
         minmax_vs.append((v, keep))
 
-    if config.aggs:
-        # one stacked scatter-min and scatter-max across all agg lanes
-        vm = jnp.stack([v for v, _ in minmax_vs], axis=1)    # [R, A]
-        km = jnp.stack([k for _, k in minmax_vs], axis=1)
+    # per-group min/max feed only the hist paths (host Range() for the
+    # node aggregator's cross-node re-bucketing); avg-op aggs never
+    # consult them — skip the scatter and emit empty-slot sentinels
+    track = [ai for ai, agg in enumerate(config.aggs)
+             if agg.num_values > 0]
+    for ai in range(len(config.aggs)):
+        if ai not in track:
+            out[f"agg{ai}_min"] = jnp.full((S,), 2**62, jnp.int64)
+            out[f"agg{ai}_max"] = jnp.full((S,), -2**62, jnp.int64)
+    if track:
+        # one stacked scatter-min and scatter-max across the hist lanes
+        vm = jnp.stack([minmax_vs[ai][0] for ai in track], axis=1)
+        km = jnp.stack([minmax_vs[ai][1] for ai in track], axis=1)
         anyk = contrib[:, None] & km
         rowgid = jnp.where(anyk.any(axis=1), cgid, S)
         mn = jnp.full((S + 1, vm.shape[1]), 2**62, jnp.int64).at[rowgid].min(
             jnp.where(anyk, vm, jnp.int64(2**62)))[:S]
         mx = jnp.full((S + 1, vm.shape[1]), -2**62, jnp.int64).at[rowgid].max(
             jnp.where(anyk, vm, jnp.int64(-2**62)))[:S]
-        for ai in range(len(config.aggs)):
-            out[f"agg{ai}_min"] = mn[:, ai]
-            out[f"agg{ai}_max"] = mx[:, ai]
+        for i, ai in enumerate(track):
+            out[f"agg{ai}_min"] = mn[:, i]
+            out[f"agg{ai}_max"] = mx[:, i]
 
     if any_hist:
         # Sparse histograms: instead of a [groups, nv] bucket matrix
