@@ -197,7 +197,8 @@ def test_streaming_ingest_constant_memory(tmp_path):
     generator pipe and asserts the child's maxrss stays far below what
     buffering the whole stream would need."""
     d = str(tmp_path / "db")
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               MALLOC_ARENA_MAX="2")   # stable RSS under load
     feeder = (
         "import json,sys\n"
         "for i in range(340000):\n"
