@@ -403,6 +403,42 @@ def _hist_bucket(agg: AggSpec, v):
     return bv, jnp.ones(v.shape, bool), is_out, nv
 
 
+def _hist_matmul(gid, hcontrib, weight, bv, nv, slots, weighted):
+    """Dense-strategy histogram counts [slots, nv] as chunked one-hot x
+    one-hot MXU matmuls: counts[g, b] = Σ rows 1[gid=g]·w·1[bv=b].
+    Replaces the [R]-row scatter-add, which XLA lowers to a serial loop
+    (profiled ~70ms per 8M-row hist scan vs ~8ms for this form).  Exact:
+    one-hot entries are 0/1 (or byte-bounded weights, <=255, exact in
+    bf16) and a chunk's f32 partial sums stay below 2^24."""
+    R = gid.shape[0]
+    ch = max(_LANE, min(R, 1 << 16))
+    ch = 1 << (ch.bit_length() - 1)
+    nchunk = -(-R // ch)
+    iot = jnp.arange(slots, dtype=jnp.int32)[:, None]
+    rix = jnp.arange(ch, dtype=jnp.int32)
+    bvv = jnp.arange(nv, dtype=jnp.int32)[None, :]
+    wrow = jnp.where(hcontrib, weight, 0) if weighted else \
+        hcontrib.astype(jnp.int32)
+    gid, bv, wrow = jax.lax.optimization_barrier(
+        (gid, bv.astype(jnp.int32), wrow))
+
+    def body(c, acc):
+        start = jnp.minimum(c * ch, R - ch)
+        gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
+        bs = jax.lax.dynamic_slice(bv, (start,), (ch,))
+        ws = jax.lax.dynamic_slice(wrow, (start,), (ch,))
+        fresh = (start + rix) >= c * ch
+        oh_g = ((iot == gs[None, :]) & fresh[None, :]).astype(jnp.bfloat16)
+        oh_b = jnp.where(bs[:, None] == bvv, ws[:, None], 0).astype(
+            jnp.bfloat16)                                   # [ch, nv]
+        d = jax.lax.dot_general(oh_g, oh_b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return acc + d.astype(jnp.int64)
+
+    return jax.lax.fori_loop(0, nchunk, body,
+                             jnp.zeros((slots, nv), jnp.int64))
+
+
 def _hist_scatter(gid, hcontrib, weight, bv, nv, Sh, weighted=True,
                   wlimbs8=8):
     """Weighted histogram counts [Sh, nv] via one exact stacked scatter.
@@ -639,11 +675,16 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         if agg.num_values > 0:
             bv, inrange, is_out, nv = _hist_bucket(agg, v)
             hcontrib = keep & inrange
-            out[f"agg{ai}_hist"] = _hist_scatter(
-                gid, hcontrib, weight, bv, nv, slots,
-                weighted=bool(config.weight_col),
-                wlimbs8=(config.lane_limbs8[0]
-                         if config.lane_limbs8 else 8))
+            wl = config.lane_limbs8[0] if config.lane_limbs8 else 8
+            if wl == 1:
+                # unweighted or byte-bounded weights: MXU matmul form
+                out[f"agg{ai}_hist"] = _hist_matmul(
+                    gid, hcontrib, weight, bv, nv, slots,
+                    weighted=bool(config.weight_col))
+            else:
+                out[f"agg{ai}_hist"] = _hist_scatter(
+                    gid, hcontrib, weight, bv, nv, slots,
+                    weighted=bool(config.weight_col), wlimbs8=wl)
             if config.track_outliers:
                 _outlier_outputs(out, config, ai, hcontrib, is_out, v,
                                  key_rows)
