@@ -329,9 +329,33 @@ class BoundQuery:
                 vbias.append(0)
         if all(x == 8 for x in lanes):
             lanes, vbias = [], []
+
+        # outlier machinery (masks + a top_k over all R rows per hist
+        # agg) is only needed when a kept value CAN overflow the bucket
+        # range; exact bounds prove the common case can't
+        track_outliers = self.config.track_outliers
+        if track_outliers:
+            need = False
+            for agg in self.config.aggs:
+                if agg.num_values <= 0:
+                    continue
+                if agg.sub_edges:        # multihist sub-overflow: keep
+                    need = True
+                    break
+                vbex = exact(agg.col)
+                if vbex is None:
+                    need = True
+                    break
+                top = agg.hist_min + agg.bucket_size * agg.num_values
+                if min(vbex[1], agg.discard_max) >= top:
+                    need = True
+                    break
+            track_outliers = need
+
         self.config = _dc.replace(
             self.config,
             key_bounds=tuple(key_bounds), sort_pack=sort_pack,
+            track_outliers=track_outliers,
             lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias))
 
     @staticmethod
