@@ -653,6 +653,25 @@ def run_query(table: Table, params: QueryParams,
     from ..profiler import PhaseTimer
     timer = PhaseTimer()
 
+    # the reference disables Go GC for the duration of a query
+    # (cmd_query.go:353, re-enabled above MAX_MEM table_query.go:286);
+    # CPython's generational GC likewise costs 10s of ms per collection
+    # once the process heap holds block arrays — pause it for the query
+    import gc
+    gc_was_enabled = gc.isenabled()
+    if gc_was_enabled:
+        gc.disable()
+    try:
+        return _run_query_inner(table, params, flags, timer)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _run_query_inner(table: Table, params: QueryParams,
+                     flags: Flags | None, timer) -> QueryResults:
+    from ..ops.scan import SENTINEL, scan_batch  # noqa: F401
+
     flags = flags or table.flags
     with timer.phase("bind"):
         if not table.load_info() and not table.exists():
