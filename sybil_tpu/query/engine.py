@@ -796,13 +796,17 @@ def _maybe_device_prune(bound: BoundQuery, params: QueryParams,
     same approximation as the reference's intermediate CombineAndPrune
     (aggregate.go:347,469-471), but the ranking, selection, and download
     shrink all happen on device.  Engaged only where it is exactly the
-    host prune's semantics: multi-batch, plain-count/avg aggs (no hist
-    bucket or HLL lanes to carry), no time rollup (host prune ranks
-    whole groups across buckets), prune metric = $COUNT or an agg mean."""
+    host prune's semantics: plain-count/avg aggs (no hist bucket or HLL
+    lanes to carry), no time rollup (host prune ranks whole groups
+    across buckets), prune metric = $COUNT or an agg mean, and the scan
+    covers more than CHUNKS_BEFORE_GC=16 blocks — the reference prunes
+    intermediates at every 16-block combine (table_query.go:263-279),
+    so any query it would have pruned, this one may too; smaller tables
+    stay exact on both sides."""
     import dataclasses as _dc
 
     p = params
-    if not p.prune_by or p.limit <= 0 or len(block_dirs) <= B:
+    if not p.prune_by or p.limit <= 0 or len(block_dirs) <= 16:
         return
     if p.distincts or p.time_bucket > 0:
         return
