@@ -78,7 +78,7 @@ def build_zipf_partitions(n_rows: int, n_parts: int = 2,
         # (CHUNKS_BEFORE_GC, table_io.go:17) — multi-batch scans engage
         # the device-side intermediate top-k prune (ScanConfig.prune_topk)
         flags = Flags(dir=d, table="sessions_zipf", skip_compact=True,
-                      device_batch=16)
+                      device_batch=64)
         t = Table("sessions_zipf", flags)
         existing = t.record_count() if (t.exists() and t.load_info()) else 0
         if existing < per:
