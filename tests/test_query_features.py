@@ -410,3 +410,51 @@ def test_lane_limb_compression_engages_and_stays_exact(tmp_path):
         assert sharded.results[k].count == e.results[k].count
         assert abs(sharded.results[k].hists["v"].mean()
                    - e.results[k].hists["v"].mean()) < 1e-9
+
+
+def test_prune_gate_small_tables_stay_exact(tmp_path):
+    """Device-side intermediate pruning engages only above the
+    reference's 16-block combine granularity (table_query.go:263-279):
+    a <=16-block high-cardinality query returns EVERY group exactly;
+    a >16-block one may prune to 10*limit but keeps the Cumulative
+    totals exact (aggregate.go:422-471)."""
+    import numpy as np
+
+    from sybil_tpu.config import Flags
+    from sybil_tpu.query.engine import run_query
+    from sybil_tpu.query.spec import AggDef, QueryParams
+    from sybil_tpu.table import Table
+    import sybil_tpu.digest as dg
+
+    def build(nblocks, chunk=256):
+        d = str(tmp_path / f"db{nblocks}")
+        flags = Flags(dir=d, table="t", skip_compact=True, device_batch=64)
+        t = Table("t", flags)
+        old = dg.CHUNK_SIZE
+        dg.CHUNK_SIZE = chunk
+        import sybil_tpu.query.cache as qc
+        qc.CHUNK_SIZE = chunk
+        try:
+            n = nblocks * chunk
+            t.ingest_columns(ints={
+                "uid": (np.arange(n) % (n // 2)).astype(np.int64),
+                "v": np.ones(n, dtype=np.int64)})
+        finally:
+            dg.CHUNK_SIZE = old
+        return t, flags, n
+
+    params = QueryParams(groups=("uid",), aggs=(AggDef("v", "avg"),),
+                         limit=5)   # prune cap would be 50
+
+    # 8 blocks: exact — every one of the 1024 groups present
+    t8, fl8, n8 = build(8)
+    qr = run_query(t8, params, fl8)
+    assert len(qr.results) == n8 // 2
+    assert qr.cumulative.count == n8
+
+    # 20 blocks: pruning allowed — but totals stay exact
+    t20, fl20, n20 = build(20)
+    qr = run_query(t20, params, fl20)
+    assert len(qr.results) <= n20 // 2
+    assert qr.cumulative.count == n20
+    assert qr.matched_count == n20
