@@ -646,10 +646,6 @@ class BatchLoader:
 
 def run_query(table: Table, params: QueryParams,
               flags: Flags | None = None) -> QueryResults:
-    import jax.numpy as jnp
-
-    from ..ops.scan import SENTINEL, scan_batch
-
     from ..profiler import PhaseTimer
     timer = PhaseTimer()
 
@@ -670,8 +666,6 @@ def run_query(table: Table, params: QueryParams,
 
 def _run_query_inner(table: Table, params: QueryParams,
                      flags: Flags | None, timer) -> QueryResults:
-    from ..ops.scan import SENTINEL, scan_batch  # noqa: F401
-
     flags = flags or table.flags
     with timer.phase("bind"):
         if not table.load_info() and not table.exists():
