@@ -157,3 +157,44 @@ def test_two_process_mesh_hist_filter(tmp_path):
         assert g["ping"]["buckets"] == w["ping"]["buckets"], host
         assert abs(g["ping"]["avg"] - w["ping"]["avg"]) < 1e-9
         assert abs(g["ping"]["stddev"] - w["ping"]["stddev"]) < 1e-9
+
+
+def test_four_process_mesh_matches_single(tmp_path):
+    """Four OS processes x 2 virtual devices = 8 shards, one query: the
+    hash-partitioned shuffle must merge identically to single-process
+    (wider than the 2-process case: more all-to-all lanes, smaller
+    per-process spans)."""
+    d = str(tmp_path / "db")
+    _build_table(d)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    single = subprocess.run(
+        _query_argv(d, []), env=env, cwd=REPO, capture_output=True,
+        text=True, timeout=600)
+    assert single.returncode == 0, single.stderr[-3000:]
+    want = {r["host"]: r for r in json.loads(single.stdout)}
+
+    port = _free_port()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = []
+    for pid in range(4):
+        argv = _query_argv(d, [
+            "-data-shards", "8",
+            "-dist-coordinator", f"localhost:{port}",
+            "-dist-pid", str(pid), "-dist-nproc", "4"])
+        procs.append(subprocess.Popen(
+            argv, env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    out0 = None
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"node {pid} failed:\n{err[-3000:]}"
+        if pid == 0:
+            out0 = _json_payload(out)
+    got = {r["host"]: r for r in json.loads(out0)}
+    assert set(got) == set(want)
+    for host, w in want.items():
+        assert got[host]["Count"] == w["Count"], host
+        assert abs(got[host]["ping"] - w["ping"]) < 1e-9, host
