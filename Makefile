@@ -1,0 +1,71 @@
+# Operator entry points, mirroring the reference's Makefile workflow
+# (/root/reference/Makefile:27-63): one-command fake data, tests, and
+# benchmarks.  The "binary" here is `python -m sybil_tpu`.
+#
+# Tests and data generation run on CPU (JAX_PLATFORMS=cpu) — the TPU
+# admits one process at a time and the storage/CLI layers don't need it.
+# Benchmarks run on whatever platform JAX resolves (the TPU when
+# available).
+
+PY      ?= python
+SYBIL    = $(PY) -m sybil_tpu
+CPUENV   = JAX_PLATFORMS=cpu
+DB      ?= ./db
+
+all: native
+
+# Build the C++ WAL codec ahead of time (it also builds lazily on first
+# digest; this target just surfaces compile errors early).
+native:
+	$(CPUENV) $(PY) -c "from sybil_tpu.native import walcodec; walcodec.ensure_built(); print('native ok')"
+
+# ---- fake data (Makefile:27-33) -------------------------------------
+fake-data: fake-uptime fake-people
+
+fake-uptime:
+	$(PY) scripts/fakedata/host_generator.py 1000000 | $(CPUENV) $(SYBIL) ingest -dir $(DB) -table uptime
+	$(CPUENV) $(SYBIL) digest -dir $(DB) -table uptime
+
+fake-people:
+	$(PY) scripts/fakedata/people_generator.py 50000 | $(CPUENV) $(SYBIL) ingest -dir $(DB) -table people
+	$(CPUENV) $(SYBIL) digest -dir $(DB) -table people
+
+fake-sessions:
+	bash scripts/make_user_sessions.sh
+
+testquery:
+	$(CPUENV) $(SYBIL) query -dir $(DB) -table people -int age,f1 -op hist -group state
+
+# ---- tests (Makefile:41-49) -----------------------------------------
+test:
+	$(PY) -m pytest tests/ -x -q
+
+testv:
+	DEBUG=1 $(PY) -m pytest tests/ -x -v
+
+coverage:
+	$(PY) -m pytest tests/ -q --cov=sybil_tpu --cov-report=term 2>/dev/null \
+	  || $(PY) -m pytest tests/ -q  # coverage plugin optional
+
+# ---- benchmarks (Makefile:62-63; BASELINE.md) -----------------------
+bench:
+	$(PY) bench.py
+
+benchmarks: bench
+	$(PY) scripts/bench_configs.py
+	$(PY) scripts/bench_cache.py
+	$(PY) scripts/bench_scaling.py
+
+# ---- ops / stress ---------------------------------------------------
+# bounded by default; SOAK_ITERS=1000 for an hours-scale soak
+soak:
+	bash scripts/stress_ingest_digest.sh
+
+demo:
+	bash scripts/basic_aggregation_test.sh
+
+clean:
+	rm -rf $(DB) sybil_tpu/native/build/*.so
+
+.PHONY: all native fake-data fake-uptime fake-people fake-sessions \
+        testquery test testv coverage bench benchmarks soak demo clean
