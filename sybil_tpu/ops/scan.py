@@ -132,6 +132,32 @@ class ScanConfig:
     # Σkwv = Σkwv' + bias*Σkw.
     lane_limbs8: tuple[int, ...] = ()
     agg_vbias: tuple[int, ...] = ()
+    # windowed dense accumulation for time-major rollups (>0 = band
+    # size in slots, derived at bind time from exact per-block time
+    # bounds): each chunk's one-hot covers only a [window, ch] band of
+    # the gid space instead of [dense_slots, ch] — digestion
+    # time-sorts rows, so a block spans few time buckets
+    window: int = 0
+    # device-side HyperLogLog (SURVEY §7): single distinct column with
+    # dense-bounded group keys -> per-group 2^14 uint8 register planes
+    # updated by scatter-max ON the chip, no sort and no pair download.
+    # The (register, rank) law is bit-identical to the host HLL
+    # (query/hll.py), so estimates match exactly.  hll_hash_idx: index
+    # into the bitsets tuple holding precomputed per-dict-id uint64
+    # hashes (str cols; entry dict_size = the missing-value hash);
+    # -1 = int distinct col, FNV-1a+splitmix computed in-kernel.
+    hll: bool = False
+    hll_hash_idx: int = -1
+    hll_ship: int = 8       # register planes shipped in the packed buffer
+    # exact per-ROW value bounds for each sum lane (aligned with
+    # lane_limbs8; 0 = unknown).  The enumerated strategy packs lanes
+    # whose cumulative sums provably fit disjoint bit fields into one
+    # int64 carried THROUGH the sort — replacing a 40-byte/row gather
+    # with a sort operand and one cumsum (measured 67ms -> 5ms at 4M).
+    lane_row_bounds: tuple[int, ...] = ()
+    # mesh scans shuffle the table: rows are no longer slot-aligned, so
+    # the compact (keyless) dense table download must stay off
+    no_compact_table: bool = False
 
     @property
     def n_key_cols(self) -> int:
@@ -145,7 +171,7 @@ class ScanConfig:
     def dense_slots(self) -> int:
         """Mixed-radix slot count (+1 per key for MISSING, +1 dead slot),
         lane-padded; 0 if any key is unbounded or the product too big."""
-        if self.force_sorted or self.distinct_cols:
+        if self.force_sorted or (self.distinct_cols and not self.hll):
             return 0
         nk = len(self.group_cols) + (1 if self.time_col else 0)
         if len(self.key_bounds) != nk:
@@ -528,10 +554,23 @@ def _dense_decode_keys(config: ScanConfig, time_bucket):
     return jnp.stack(cols, axis=1)     # [slots, K]
 
 
-def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
+def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
+                  window=0, matched=None, chunk=0):
     """One fused chunked pass over the rows computing
       - exact int64 segment sums of all nibble lanes on the MXU, and
       - per-slot min/max for every aggregation value lane.
+
+    window > 0 (with matched + chunk set): the windowed form for
+    time-major big-slot rollups.  Digestion sorts rows by time, so one
+    chunk (= one block when chunk == C) spans only a narrow band of the
+    mixed-radix gid space; the one-hot is built against a [window, ch]
+    band anchored at the chunk's min matched gid and accumulated into
+    the full [slots, T] table with a dynamic-slice read-modify-write —
+    turning the [slots, ch] one-hot traffic (the whole cost of a
+    7k-slot rollup) into [window, ch].  A matched row outside its
+    chunk's window raises the returned spill count; the engine retries
+    on the sorted strategy (the window is sized from exact per-block
+    bounds, so this only fires on concurrent block republication).
 
     The dot runs bf16 x bf16 -> f32: that is the TPU MXU's native mode
     (int8 dots lower to slow vector loops).  It stays EXACT because
@@ -550,11 +589,18 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
         limbs8 = (LIMBS8,) * L
     nib = _limbs8_ragged(lanes64, limbs8)        # [R, T] uint8, bitcast
     T = nib.shape[1]
-    # chunk rows: the one-hot temp stays small AND ch*255 < 2^24 so the
-    # f32 MXU accumulation of byte limbs is exact (65536*255 < 2^24)
-    ch = max(_LANE, min(R, (1 << 25) // max(slots, 1), 1 << 16))
-    ch = 1 << (ch.bit_length() - 1)              # power of two
-    nchunk = -(-R // ch)
+    if window and (not chunk or R % chunk or matched is None):
+        window = 0                               # shape precondition
+    if window:
+        ch = chunk
+        nchunk = R // ch
+    else:
+        # chunk rows: the one-hot temp stays small AND ch*255 < 2^24 so
+        # the f32 MXU accumulation of byte limbs is exact
+        # (65536*255 < 2^24)
+        ch = max(_LANE, min(R, (1 << 25) // max(slots, 1), 1 << 16))
+        ch = 1 << (ch.bit_length() - 1)          # power of two
+        nchunk = -(-R // ch)
     # one-hot built TRANSPOSED [slots, ch]: the dot becomes a standard
     # [M,K]@[K,N] that XLA lowers onto the MXU (contracting dim 0 of both
     # operands lowers to a slow VPU fusion instead), and the min/max
@@ -578,6 +624,62 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
 
     BIG = jnp.float32(3.0e38) if all_f32 else jnp.int64(2**62)
     mdt = jnp.float32 if all_f32 else jnp.int64
+
+    if window:
+        Wb = window
+        iot_w = jnp.arange(Wb, dtype=jnp.int32)[:, None]
+        matched_b = jax.lax.optimization_barrier(matched)
+
+        def wbody(c, state):
+            acc, mn, mx, spill = state
+            start = c * ch
+            gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
+            ms = jax.lax.dynamic_slice(matched_b, (start,), (ch,))
+            sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, T))
+            lo = jnp.min(jnp.where(ms, gs, slots - 1))
+            lo = jnp.clip(lo, 0, max(slots - Wb, 0))
+            rel = gs - lo
+            spill = spill + jnp.sum(
+                (ms & ((rel < 0) | (rel >= Wb))).astype(jnp.int64))
+            rel = jnp.clip(rel, 0, Wb - 1)
+            hit = iot_w == rel[None, :]                     # [Wb, ch]
+            d = jax.lax.dot_general(
+                hit.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = jnp.asarray(0, lo.dtype)
+            band = jax.lax.dynamic_slice(acc, (lo, z), (Wb, T))
+            acc = jax.lax.dynamic_update_slice(
+                acc, band + d.astype(jnp.int64), (lo, z))
+            if A:
+                vs = jax.lax.dynamic_slice(
+                    vmat, (start, 0), (ch, A)).astype(mdt)
+                ks = jax.lax.dynamic_slice(kmat, (start, 0), (ch, A))
+                bmn = jax.lax.dynamic_slice(mn, (lo, z), (Wb, A))
+                bmx = jax.lax.dynamic_slice(mx, (lo, z), (Wb, A))
+                for a in range(A):
+                    h = hit & ks[:, a][None, :]
+                    bmn = bmn.at[:, a].min(jnp.min(
+                        jnp.where(h, vs[:, a][None, :], BIG), axis=1))
+                    bmx = bmx.at[:, a].max(jnp.max(
+                        jnp.where(h, vs[:, a][None, :], -BIG), axis=1))
+                mn = jax.lax.dynamic_update_slice(mn, bmn, (lo, z))
+                mx = jax.lax.dynamic_update_slice(mx, bmx, (lo, z))
+            return acc, mn, mx, spill
+
+        acc, mn, mx, wspill = jax.lax.fori_loop(
+            0, nchunk, wbody,
+            (jnp.zeros((slots, T), jnp.int64),
+             jnp.full((slots, max(A, 1)), BIG, mdt),
+             jnp.full((slots, max(A, 1)), -BIG, mdt),
+             jnp.zeros((), jnp.int64)))
+        sums = _recombine8_ragged(acc, limbs8)   # [slots, L]
+        if A and all_f32:
+            mn = jnp.where(mn >= BIG, jnp.float32(2.0**62),
+                           mn).astype(jnp.int64)
+            mx = jnp.where(mx <= -BIG, -jnp.float32(2.0**62),
+                           mx).astype(jnp.int64)
+        return sums, mn, mx, wspill
 
     def body(c, state):
         acc, mn, mx = state
@@ -616,7 +718,65 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None):
         # empty slots read +/-BIG which the caller masks via exists/count
         mn = jnp.where(mn >= BIG, jnp.float32(2.0**62), mn).astype(jnp.int64)
         mx = jnp.where(mx <= -BIG, -jnp.float32(2.0**62), mx).astype(jnp.int64)
-    return sums, mn, mx
+    return sums, mn, mx, jnp.zeros((), jnp.int64)
+
+
+HLL_P = 14
+HLL_M = 1 << HLL_P
+
+
+def _hash_int_col(v):
+    """FNV-1a 64 over the 8 little-endian bytes of v, splitmix64
+    finalizer — bit-identical to query/hll.py hash64 on the reference's
+    int fast-path packing (aggregate.go:208-222)."""
+    h = jnp.full(v.shape, 0xcbf29ce484222325, jnp.uint64)
+    prime = jnp.uint64(0x100000001b3)
+    u = v.astype(jnp.uint64)
+    for i in range(8):
+        b = (u >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)
+        h = (h ^ b) * prime
+    h = h + jnp.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return h ^ (h >> jnp.uint64(31))
+
+
+def _hll_idx_rank(h):
+    """uint64 hash -> (register index int32, rank int32), matching
+    query/hll.py HLL.add bit for bit."""
+    idx = (h >> jnp.uint64(64 - HLL_P)).astype(jnp.int32)
+    rest = h << jnp.uint64(HLL_P)
+    bl = jnp.zeros(h.shape, jnp.int32)
+    x = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        gt = x >= (jnp.uint64(1) << jnp.uint64(shift))
+        bl = jnp.where(gt, bl + shift, bl)
+        x = jnp.where(gt, x >> jnp.uint64(shift), x)
+    bl = jnp.where(rest > 0, bl + 1, 0)
+    rank = jnp.where(rest > 0, 64 - bl + 1, 64 - HLL_P + 1)
+    return idx, rank.astype(jnp.int32)
+
+
+def _hll_registers(config: ScanConfig, cols, flat, matched, gid, bitsets,
+                   slots):
+    """Per-group HLL register planes uint8 [slots, HLL_M] (one
+    scatter-max over the rows; registers for the dead slot absorb
+    unmatched rows)."""
+    dcol = config.distinct_cols[0]
+    dvals, dvalid = cols[dcol]
+    v, valid = flat(dvals), flat(dvalid)
+    if config.hll_hash_idx >= 0:
+        hashes = bitsets[config.hll_hash_idx]    # uint64 [dict+1]
+        miss = hashes.shape[0] - 1
+        hidx = jnp.where(valid, v, miss).astype(jnp.int32)
+        h = hashes[jnp.clip(hidx, 0, miss)]
+    else:
+        # int fast path packs the raw value; missing = MaxUint64 = -1
+        h = _hash_int_col(jnp.where(valid, v, MISSING))
+    idx, rank = _hll_idx_rank(h)
+    slot = jnp.where(matched, gid, slots - 1) * HLL_M + idx
+    acc = jnp.zeros((slots * HLL_M,), jnp.int32).at[slot].max(rank)
+    return acc.astype(jnp.uint8).reshape(slots, HLL_M)
 
 
 def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
@@ -638,9 +798,12 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         agg, (v, keep) = config.aggs[ai], per_agg[ai]
         f32_ok = max(abs(agg.discard_min), abs(agg.discard_max)) < (1 << 24)
         minmax_vs.append((v, keep, f32_ok))
-    sums, mns_t, mxs_t = _dense_reduce(gid, lanes64, minmax_vs, slots,
-                                       _lane_limbs(config,
-                                                   lanes64.shape[1]))
+    win = config.window if 0 < config.window < slots else 0
+    sums, mns_t, mxs_t, wspill = _dense_reduce(
+        gid, lanes64, minmax_vs, slots,
+        _lane_limbs(config, lanes64.shape[1]),
+        window=win, matched=matched, chunk=C)
+    spill = spill + wspill
     tpos = {ai: i for i, ai in enumerate(track)}
     A = len(config.aggs)
     mns = jnp.full((slots, max(A, 1)), 2**62, jnp.int64)
@@ -660,6 +823,9 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         "samples": samples,
         "spill": spill,
     }
+    if config.hll and config.distinct_cols:
+        out["hll_regs"] = _hll_registers(config, cols, flat, matched, gid,
+                                         bitsets, slots)
 
     any_hist = any(a.num_values > 0 for a in config.aggs)
     key_rows = None
@@ -714,9 +880,19 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             sent *= card + 1
         dtype = jnp.int32 if sent < 2**31 - 1 else jnp.int64
         packed = jnp.zeros((R,), dtype)
+        bad = jnp.zeros((R,), bool)
         for (mn, card), k in zip(pack, keys):
-            packed = packed * (card + 1) + (k - mn + 1).astype(dtype)
-        packed = jnp.where(matched, packed, jnp.asarray(sent, dtype))
+            # digit 0 reserved for MISSING (-1): matches the reference's
+            # MaxUint64 packing, which likewise cannot distinguish a
+            # real -1 value from missing (aggregate.go:125-143)
+            digit = jnp.where(k == MISSING, 0, k - mn + 1)
+            # a key outside its declared bound (stale dict/int bounds —
+            # e.g. -read-log rows ingested after bind) would corrupt the
+            # radix product: spill instead, the engine retries unpacked
+            bad = bad | (digit < 0) | (digit > card)
+            packed = packed * (card + 1) + digit.astype(dtype)
+        pack_spill = jnp.sum((matched & bad).astype(jnp.int64))
+        packed = jnp.where(matched & ~bad, packed, jnp.asarray(sent, dtype))
         sorted_ops = jax.lax.sort([packed, idx], num_keys=1)
         spacked, sidx = sorted_ops
         smatched = matched[sidx]
@@ -729,6 +905,7 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         prev_differs = prev_differs | jnp.concatenate(
             [jnp.ones((1,), bool), spacked[1:] != spacked[:-1]])
     else:
+        pack_spill = jnp.zeros((), jnp.int64)
         all_keys = [jnp.where(matched, k, SENTINEL) for k in keys + dkeys]
         sorted_ops = jax.lax.sort([*all_keys, idx], num_keys=len(all_keys))
         skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
@@ -780,7 +957,7 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         "keys": keys_tbl,
         "count": sums[:, 0],
         "samples": sums[:, 1],
-        "spill": jnp.zeros((), jnp.int64),
+        "spill": pack_spill,
     }
 
     # distinct pairs: boundary over the full (group+distinct) key tuple
@@ -870,6 +1047,199 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     return out
 
 
+# enumerated strategy: largest packed-key radix the device will
+# enumerate (bounds the searchsorted query set and the [radix, L] table)
+ENUM_RADIX_CAP = 1 << 21
+
+
+def enum_radix(config: ScanConfig) -> int:
+    """Packed-key radix for the enumerated strategy; 0 = ineligible.
+
+    Eligible when the scan is a device-pruned (prune_topk) group-by
+    whose keys are all exactly bounded (sort_pack) with a modest radix
+    product and no hist/distinct/outlier/sample lanes — the
+    high-cardinality top-k shape (BASELINE config 5).  There the full
+    multi-key sort + segment scatter is replaced by ONE narrow sort +
+    per-lane cumsum + a searchsorted over every possible key: segment
+    sums become cumsum differences at group boundaries, with no
+    scatter anywhere (large scatters lower to serial loops on TPU)."""
+    if config.prune_topk <= 0 or config.dense_slots:
+        return 0
+    pack = config.sort_pack
+    if not pack or config.distinct_cols or config.time_col:
+        return 0
+    if len(pack) != max(len(config.group_cols), 1) or not config.group_cols:
+        return 0
+    if any(a.num_values > 0 for a in config.aggs):
+        return 0
+    if config.track_outliers or config.want_matched_mask:
+        return 0
+    radix = 1
+    for (_, card) in pack:
+        radix *= card + 1
+        if radix > ENUM_RADIX_CAP:
+            return 0
+    return radix
+
+
+def _enum_counts(packed, radix, R):
+    """Row counts per packed key value in [0, radix) via a chunked
+    factored one-hot matmul (hi x lo decomposition of the key).  Exact:
+    one-hot entries are 0/1 in bf16 and per-chunk partial sums are
+    bounded by the chunk size < 2^24.  Replaces a binary-search
+    searchsorted that cost ~30ms at 4M rows (23 gather rounds)."""
+    Wf = 512
+    Shi = -(-(radix + 1) // Wf)      # bin `radix` holds the sentinel
+    ch = 1 << (min(R, 1 << 16).bit_length() - 1)
+    nchunk = -(-R // ch)
+    iot = jnp.arange(Shi, dtype=jnp.int32)[:, None]
+    lot = jnp.arange(Wf, dtype=jnp.int32)[None, :]
+    rix = jnp.arange(ch, dtype=jnp.int32)
+    pk = jax.lax.optimization_barrier(packed.astype(jnp.int32))
+
+    def body(c, acc):
+        start = jnp.minimum(c * ch, R - ch)
+        gs = jax.lax.dynamic_slice(pk, (start,), (ch,))
+        fresh = (start + rix) >= c * ch
+        hi_ = gs // Wf
+        lo_ = gs % Wf
+        oh = ((iot == hi_[None, :]) & fresh[None, :]).astype(jnp.bfloat16)
+        rl = (lo_[:, None] == lot).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(oh, rl, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return acc + d.astype(jnp.int32)
+
+    acc = jax.lax.fori_loop(0, nchunk, body,
+                            jnp.zeros((Shi, Wf), jnp.int32))
+    return acc.reshape(-1)[:radix]               # int32 rows per key
+
+
+def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
+               time_bucket, set_aux):
+    """Enumerated high-cardinality group-by (see enum_radix).
+
+    Per-key row counts come from a factored one-hot matmul
+    (_enum_counts); their exclusive cumsum gives every group's row range
+    [lo, hi) in the key-sorted order.  Sum lanes are bit-packed into
+    int64 CARRIERS riding through the sort as extra operands (no row
+    gather), one cumsum per carrier, and per-group sums are cumsum
+    differences at the range ends.  Output is a [radix] group table in
+    key order; pack_outputs' device prune (prune_topk) ships only the
+    top rows."""
+    B, C, R, flat, matched, keys, _, weight = _front_end(
+        config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
+    pack = config.sort_pack
+    radix = enum_radix(config)
+
+    dtype = jnp.int32 if radix + 1 < 2**31 - 1 else jnp.int64
+    packed = jnp.zeros((R,), dtype)
+    bad = jnp.zeros((R,), bool)
+    for (mn, card), k in zip(pack, keys):
+        digit = jnp.where(k == MISSING, 0, k - mn + 1)
+        bad = bad | (digit < 0) | (digit > card)   # stale bound: spill
+        packed = packed * (card + 1) + digit.astype(dtype)
+    pack_spill = jnp.sum((matched & bad).astype(jnp.int64))
+    packed = jnp.where(matched & ~bad, packed, jnp.asarray(radix, dtype))
+
+    lanes64, _ = _agg_row_data(config, cols, flat, matched, weight)
+    L = lanes64.shape[1]
+
+    # carrier plan: lanes whose cumulative sums provably fit disjoint
+    # int64 bit fields (exact per-row bounds from bind time); the
+    # samples lane — and the count lane without a weight column — are
+    # plain row counts and come from [lo, hi) for free
+    rb = (config.lane_row_bounds
+          if len(config.lane_row_bounds) == L else None)
+    skip = {1} | ({0} if not config.weight_col else set())
+    carry_plan = None
+    if rb:
+        plan, cur, used, ok = [], [], 0, True
+        for i in range(L):
+            if i in skip:
+                continue
+            b = rb[i]
+            bits = (b * R).bit_length() + 1 if b > 0 else 64
+            if bits > 63:
+                ok = False
+                break
+            if used + bits > 63:
+                plan.append(tuple(cur))
+                cur, used = [], 0
+            cur.append((i, used, bits))
+            used += bits
+        if ok:
+            if cur:
+                plan.append(tuple(cur))
+            carry_plan = tuple(plan)
+
+    counts_rows = _enum_counts(packed, radix, R)       # int32 [radix]
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_rows)])
+    lo, hi = bounds[:-1], bounds[1:]                   # [radix]
+    live = hi > lo
+    nrows = (hi - lo).astype(jnp.int64)
+
+    def segdiff_rows(cum2d):
+        chi = jnp.take(cum2d, jnp.maximum(hi - 1, 0), axis=0)
+        clo = jnp.take(cum2d, jnp.maximum(lo - 1, 0), axis=0)
+        chi = jnp.where((hi > 0)[:, None], chi, 0)
+        clo = jnp.where((lo > 0)[:, None], clo, 0)
+        return jnp.where(live[:, None], chi - clo, 0)
+
+    if carry_plan is not None:
+        carriers = []
+        for group in carry_plan:
+            c = jnp.zeros((R,), jnp.int64)
+            for (i, off, _) in group:
+                c = c | (lanes64[:, i] << off)   # nonneg, disjoint fields
+            carriers.append(c)
+        sorted_ops = jax.lax.sort([packed, *carriers], num_keys=1)
+        cums = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=1), axis=0)
+        diffs = segdiff_rows(cums)                     # [radix, ncarriers]
+        cols_out = {}
+        for gi, group in enumerate(carry_plan):
+            for (i, off, bits) in group:
+                cols_out[i] = (diffs[:, gi] >> off) & ((1 << bits) - 1)
+        sums = jnp.stack(
+            [cols_out.get(i, nrows) for i in range(L)], axis=1)
+    else:
+        # general fallback: carry row ids, gather + cumsum the lanes
+        idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
+        spacked, sidx = jax.lax.sort([packed, idx], num_keys=1)
+        slanes = jnp.take(lanes64, sidx, axis=0)       # [R, L] sorted
+        cum = jnp.cumsum(slanes, axis=0)               # int64, exact
+        sums = segdiff_rows(cum)                       # [radix, L]
+
+    # keys from the enumeration itself (mixed-radix decode; digit 0 =
+    # MISSING, mirroring _dense_decode_keys)
+    gids = jnp.arange(radix, dtype=jnp.int64)
+    kcols = []
+    for (mn, card) in reversed(pack):
+        digit = gids % (card + 1)
+        gids = gids // (card + 1)
+        kcols.append(jnp.where(digit == 0, MISSING, digit - 1 + mn))
+    kcols.reverse()
+    keys_tbl = jnp.stack(kcols, axis=1)               # [radix, K]
+
+    S = radix
+    out = {
+        "num_groups": jnp.sum(live.astype(jnp.int32)),
+        "keys": keys_tbl,
+        "count": sums[:, 0],
+        "samples": sums[:, 1],
+        "spill": pack_spill,
+    }
+    for ai in range(len(config.aggs)):
+        out[f"agg{ai}_exists"] = sums[:, 2 + 3 * ai] > 0
+        out[f"agg{ai}_count"] = sums[:, 3 + 3 * ai]
+        out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
+        # no hist lanes here (enum_radix forbids them): min/max are
+        # never consulted downstream — emit empty-slot sentinels
+        out[f"agg{ai}_min"] = jnp.full((S,), 2**62, jnp.int64)
+        out[f"agg{ai}_max"] = jnp.full((S,), -2**62, jnp.int64)
+    return out
+
+
 def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
               time_bucket, set_aux):
     """
@@ -886,6 +1256,9 @@ def scan_core(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     if config.strategy == "dense":
         return _scan_dense(config, cols, nrec, filter_vals, bitsets,
                            time_bucket, set_aux)
+    if enum_radix(config):
+        return _scan_enum(config, cols, nrec, filter_vals, bitsets,
+                          time_bucket, set_aux)
     return _scan_sorted(config, cols, nrec, filter_vals, bitsets,
                         time_bucket, set_aux)
 
@@ -924,6 +1297,58 @@ def table_prefix(config: ScanConfig) -> int:
     return p
 
 
+def dense_table_plan(config: ScanConfig, R: int):
+    """Column plan for the dense strategy's COMPACT table section; None
+    when the strategy isn't dense.  Dense slot keys are arithmetic
+    (mixed radix) so no key columns ship — the host re-derives them —
+    and min/max ship only for hist aggs (avg-op rows carry sentinels
+    anyway).  i32: every sum column's per-batch total provably fits
+    int32 (lane_row_bounds x R), so pairs of columns pack into each
+    int64 word — together a 2-4x smaller download, which on the
+    tunneled link is the dense scan's main cost at thousands of
+    slots."""
+    if config.strategy != "dense" or config.no_compact_table:
+        return None
+    cols = [("count", 0), ("samples", 1)]
+    i64_cols = []
+    for ai, a in enumerate(config.aggs):
+        cols += [(f"agg{ai}_exists", 2 + 3 * ai),
+                 (f"agg{ai}_count", 3 + 3 * ai),
+                 (f"agg{ai}_wv", 4 + 3 * ai)]
+        if a.num_values > 0:
+            i64_cols += [f"agg{ai}_min", f"agg{ai}_max"]
+    rb = config.lane_row_bounds
+    i32 = bool(rb) and all(
+        li < len(rb) and rb[li] > 0 and rb[li] * R < (1 << 31)
+        for _, li in cols)
+    names = [n for n, _ in cols]
+    npack = -(-len(names) // 2) if i32 else len(names)
+    return {"cols": names, "i64_cols": i64_cols, "i32": i32,
+            "wpr": npack + len(i64_cols)}
+
+
+def dense_keys_np(config: ScanConfig, time_bucket: int):
+    """Host-side twin of _dense_decode_keys: slot index -> key tuple
+    for the compact dense table (no key columns on the wire)."""
+    slots = config.dense_slots
+    sid = np.arange(slots, dtype=np.int64)
+    cols = []
+    has_time = bool(config.time_col)
+    for i in reversed(range(len(config.key_bounds))):
+        mn, card = config.key_bounds[i]
+        digit = sid % (card + 1)
+        sid = sid // (card + 1)
+        if has_time and i == 0:
+            val = (digit - 1 + mn) * time_bucket
+        else:
+            val = np.where(digit == 0, MISSING, digit - 1 + mn)
+        cols.append(val)
+    cols.reverse()
+    if not cols:
+        cols = [np.zeros(slots, dtype=np.int64)]
+    return np.stack(cols, axis=1)          # [slots, K]
+
+
 def packed_layout(config: ScanConfig, R: int) -> dict:
     """Row offsets of every section inside the ONE packed download
     buffer.  Shared by pack_outputs (writer) and the engine accumulator
@@ -935,19 +1360,38 @@ def packed_layout(config: ScanConfig, R: int) -> dict:
     W = main_width(config)
     P = table_prefix(config)
     hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
-    layout = {"W": W, "meta": (0, 1), "table": (1, P)}
-    off = 1 + P
+    plan = dense_table_plan(config, R)
+    if plan is None:
+        layout = {"W": W, "meta": (0, 1), "table": (1, P)}
+        off = 1 + P
+    else:
+        rows = -(-(P * plan["wpr"]) // W)
+        layout = {"W": W, "meta": (0, 1), "table": (1, rows),
+                  "table_wpr": plan["wpr"]}
+        off = 1 + rows
     if config.track_outliers and hist_ais:
         kmax = min(config.max_out, R)
         layout["kmax_out"] = kmax
         for ai in hist_ais:
             layout[f"out{ai}"] = (off, kmax)
             off += kmax
-    if config.distinct_cols:
+    if config.distinct_cols and not (config.hll and
+                                     config.strategy == "dense"):
         kmax = min(config.max_pairs, R)
         layout["kmax_pairs"] = kmax
         layout["pairs"] = (off, kmax)
         off += kmax
+    elif config.distinct_cols:
+        # device HLL: compacted live register planes ride the buffer
+        # (gid row + HLL_M uint8 registers bitcast to int64 words each)
+        Phll = min(config.hll_ship, config.dense_slots)
+        layout["Phll"] = Phll
+        rows = -(-Phll // W)
+        layout["hll_gids"] = (off, rows)
+        off += rows
+        rows = -(-(Phll * (HLL_M // 8)) // W)
+        layout["hll_regs"] = (off, rows)
+        off += rows
     if hist_ais:
         if config.strategy == "dense":
             Ph = min(config.hist_prefix, config.dense_slots)
@@ -989,13 +1433,34 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
         flat = jnp.pad(flat, (0, rows * W - flat.shape[0]))
         return flat.reshape(rows, W)
 
-    table_cols = [out["keys"][:, k] for k in range(K)]
-    table_cols += [out["count"], out["samples"]]
-    for ai in range(A):
-        table_cols += [out[f"agg{ai}_exists"].astype(jnp.int64),
-                       out[f"agg{ai}_count"], out[f"agg{ai}_wv"],
-                       out[f"agg{ai}_min"], out[f"agg{ai}_max"]]
-    table = jnp.stack(table_cols, axis=1)  # [S, K+2+5A]
+    plan = dense_table_plan(config, R)
+    if plan is not None:
+        # compact dense table: no key columns (arithmetic slots), hist
+        # min/max only, int32 pair packing when bounds allow
+        if plan["i32"]:
+            names = plan["cols"]
+            if len(names) % 2:
+                names = names + [names[-1]]       # pad to even
+            a32 = jnp.stack([out[n].astype(jnp.int32) for n in names],
+                            axis=1)               # [S, nc_pad]
+            w = jax.lax.bitcast_convert_type(
+                a32.reshape(a32.shape[0], -1, 2), jnp.int64)
+        else:
+            w = jnp.stack([out[n].astype(jnp.int64)
+                           for n in plan["cols"]], axis=1)
+        if plan["i64_cols"]:
+            w = jnp.concatenate(
+                [w, jnp.stack([out[n] for n in plan["i64_cols"]],
+                              axis=1)], axis=1)
+        table = w                                  # [S, wpr]
+    else:
+        table_cols = [out["keys"][:, k] for k in range(K)]
+        table_cols += [out["count"], out["samples"]]
+        for ai in range(A):
+            table_cols += [out[f"agg{ai}_exists"].astype(jnp.int64),
+                           out[f"agg{ai}_count"], out[f"agg{ai}_wv"],
+                           out[f"agg{ai}_min"], out[f"agg{ai}_max"]]
+        table = jnp.stack(table_cols, axis=1)  # [S, K+2+5A]
 
     pruned = 0
     if config.prune_topk > 0 and config.strategy != "dense":
@@ -1021,7 +1486,10 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
 
     meta = [out["num_groups"].astype(jnp.int64),
             out.get("spill", jnp.zeros((), jnp.int64))]
-    sections = [pad_to(table[:P], W)]
+    if plan is not None:
+        sections = [flat_rows(table[:P], layout["table"][1])]
+    else:
+        sections = [pad_to(table[:P], W)]
 
     hist_ais = [ai for ai, a in enumerate(config.aggs) if a.num_values > 0]
     if config.track_outliers and hist_ais:
@@ -1039,7 +1507,7 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
         for _ in hist_ais:
             meta.append(jnp.zeros((), jnp.int64))
 
-    if D:
+    if D and "pair_mask" in out:
         kmax = layout["kmax_pairs"]
         pmask = out["pair_mask"]
         _, idx = jax.lax.top_k(pmask.astype(jnp.int32), kmax)
@@ -1048,6 +1516,18 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
              pmask[idx][:, None].astype(jnp.int64)], axis=1)
         sections.append(pad_to(block, W))
         meta.append(jnp.sum(pmask.astype(jnp.int64)))
+    elif "hll_regs" in out:
+        # device HLL: ship the live groups' register planes (escalation
+        # fetches the full [slots, HLL_M] array when live > Phll)
+        Phll = layout["Phll"]
+        live = (out["count"] > 0) | (out["samples"] > 0)
+        _, hidx = jax.lax.top_k(live.astype(jnp.int32), Phll)
+        sections.append(flat_rows(hidx, layout["hll_gids"][1]))
+        regs = out["hll_regs"][hidx]                 # [Phll, HLL_M] u8
+        w64 = jax.lax.bitcast_convert_type(
+            regs.reshape(Phll, HLL_M // 8, 8), jnp.int64)
+        sections.append(flat_rows(w64, layout["hll_regs"][1]))
+        meta.append(jnp.zeros((), jnp.int64))        # npairs: none
     else:
         meta.append(jnp.zeros((), jnp.int64))
     # sharded shuffle capacity overflow (mesh path; 0 single-device)

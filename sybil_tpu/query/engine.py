@@ -207,6 +207,7 @@ class BoundQuery:
         )
         self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
         self.bitsets = tuple(bitsets)
+        self._setup_hll()
 
         cols = set(params.groups) | set(params.distincts)
         cols |= {a.col for a in params.aggs}
@@ -308,10 +309,12 @@ class BoundQuery:
         wmax = wb[1] if wb else 0
         wl = limbs_for(wmax) if wb else 8
         lanes = [wl, 1]
+        row_bounds = [wmax if wb else 0, 1]   # 0 = unknown
         vbias = []
         for agg in self.config.aggs:
             lanes.append(1)          # exists
             lanes.append(wl)         # kw
+            row_bounds += [1, wmax if wb else 0]
             vb = exact(agg.col) if wb else None
             done = False
             if vb is not None:
@@ -322,13 +325,15 @@ class BoundQuery:
                 bound = wmax * (vhi - vlo)
                 if bound < (1 << 35):
                     lanes.append(limbs_for(bound))
+                    row_bounds.append(bound)
                     vbias.append(int(vlo))
                     done = True
             if not done:
                 lanes.append(8)
+                row_bounds.append(0)
                 vbias.append(0)
         if all(x == 8 for x in lanes):
-            lanes, vbias = [], []
+            lanes, vbias, row_bounds = [], [], []
 
         # outlier machinery (masks + a top_k over all R rows per hist
         # agg) is only needed when a kept value CAN overflow the bucket
@@ -352,11 +357,86 @@ class BoundQuery:
                     break
             track_outliers = need
 
+        # windowed dense accumulation for rollups: digestion time-sorts
+        # rows, so each block spans a narrow band of time buckets; the
+        # scan kernel can then one-hot only a [window, C] band per chunk
+        # (ops/scan.py _dense_reduce) instead of the full slot space
+        window = 0
+        self.wide_dirs: set[str] = set()
+        if self.config.time_col and kb_exact and kb_exact[0]:
+            kid_t = schema.key_table.get(self.config.time_col)
+            spans = {}
+            ok = True
+            for d in block_dirs:
+                info = infos.get(d)
+                e = (getattr(info, "int_exact", {}).get(kid_t)
+                     if info else None)
+                if e is None:
+                    if info is not None and kid_t in info.int_info:
+                        ok = False
+                        break
+                    continue  # block lacks the time column entirely
+                qlo = self._trunc_div(e[0], p.time_bucket)
+                qhi = self._trunc_div(e[1], p.time_bucket)
+                spans[d] = qhi - qlo + 1
+            if ok and spans:
+                # a few blocks (partial-block top-ups, first digests)
+                # can span the whole time range and would blow the
+                # window up to the full slot space: size the window for
+                # the p90 block and scan the wide stragglers separately
+                # on the plain kernel (run_query splits the dirs)
+                svals = sorted(spans.values())
+                t_span = svals[int(0.9 * (len(svals) - 1))]
+                radix_rest = 1
+                for (_, card) in key_bounds[1:]:
+                    radix_rest *= card + 1
+                window = -(-((t_span + 1) * radix_rest) // 128) * 128
+                self.wide_dirs = {d for d, s in spans.items()
+                                  if s > t_span}
+
         self.config = _dc.replace(
             self.config,
             key_bounds=tuple(key_bounds), sort_pack=sort_pack,
-            track_outliers=track_outliers,
-            lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias))
+            track_outliers=track_outliers, window=window,
+            lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias),
+            lane_row_bounds=tuple(row_bounds))
+
+    def _hll_hash_array(self, dcol: str) -> np.ndarray:
+        """Per-dict-id uint64 hashes of (display string + delimiter);
+        the appended last entry is the missing-value hash — bit-identical
+        inputs to the host HLL slow path (_absorb_distinct)."""
+        from .hll import hash64
+        strings = self._strings(dcol)
+        hs = np.fromiter(
+            (hash64((s + GROUP_DELIMITER).encode()) for s in strings),
+            dtype=np.uint64, count=len(strings))
+        return np.append(hs, np.uint64(hash64(GROUP_DELIMITER.encode())))
+
+    def _setup_hll(self) -> None:
+        """Engage the device-side HLL (SURVEY §7: 2^p register array on
+        device, merged by max) when the query is a single-column
+        count-distinct whose group keys are dense-bounded: the scan then
+        runs the DENSE strategy — no sort, no pair download — and ships
+        a few 16KB register planes instead (ops/scan.py
+        _hll_registers)."""
+        import dataclasses as _dc
+        p = self.params
+        cfg = self.config
+        if (len(p.distincts) != 1 or cfg.force_sorted
+                or self.flags.data_shards > 1):
+            return
+        cand = _dc.replace(cfg, hll=True)
+        # slots*HLL_M uint8 registers live in HBM; 128 groups = 2MB and
+        # bounds the worst-case escalation download
+        if not cand.dense_slots or cand.dense_slots > 128:
+            return
+        dcol = p.distincts[0]
+        if self.col_types[dcol] == STR_VAL:
+            if len(self.table.dicts.get(dcol).strings) > 65536:
+                return
+            self.bitsets = self.bitsets + (self._hll_hash_array(dcol),)
+            cand = _dc.replace(cand, hll_hash_idx=len(self.bitsets) - 1)
+        self.config = cand
 
     @staticmethod
     def _trunc_div(x: int, d: int) -> int:
@@ -388,6 +468,42 @@ class BoundQuery:
                 filter_vals.append(self.table.dicts.get(f.col).lookup(f.value))
         self.filter_vals = np.asarray(filter_vals, dtype=np.int64)
         self.bitsets = tuple(bitsets)
+        if self.config.hll and self.config.hll_hash_idx >= 0:
+            # the dict may have grown (read-log strings): rebuild the
+            # per-id hash array at its new index
+            import dataclasses as _dc
+            self.bitsets = self.bitsets + (
+                self._hll_hash_array(self.params.distincts[0]),)
+            self.config = _dc.replace(self.config,
+                                      hll_hash_idx=len(self.bitsets) - 1)
+
+    def refresh_key_bounds(self) -> None:
+        """Re-derive str group-key bounds from the CURRENT dictionaries.
+        The -read-log path ingests WAL strings into the in-memory dicts
+        after bind time; stale bounds would spill every pseudo-block to
+        the unpacked fallback (dense digits and the packed sort key are
+        runtime-guarded, so this is a fast-path refresh, not a
+        correctness requirement)."""
+        import dataclasses as _dc
+        p = self.params
+        kb = list(self.config.key_bounds)
+        ki = 1 if self.config.time_col else 0
+        changed = False
+        for g in p.groups:
+            if self.col_types.get(g) == STR_VAL and ki < len(kb):
+                card = max(len(self.table.dicts.get(g).strings), 1)
+                if kb[ki] != (0, card):
+                    kb[ki] = (0, card)
+                    changed = True
+            ki += 1
+        if not changed:
+            return
+        sort_pack = self.config.sort_pack
+        if sort_pack and not self.config.time_col and \
+                len(sort_pack) == len(kb):
+            sort_pack = tuple(kb)
+        self.config = _dc.replace(self.config, key_bounds=tuple(kb),
+                                  sort_pack=sort_pack)
 
     def _strings(self, col: str) -> list[str]:
         """Global dict strings with -str-replace applied (the reference
@@ -542,16 +658,44 @@ class BatchLoader:
             # more than the whole device dispatch; staleness is caught by
             # the column-length checks below
             nrec[bi] = min(exp, C)
-            if set_cols and nrec[bi]:
-                data = blockio.load_block_columns(bdir, schema,
-                                                  list(set_cols))
-                for name, cd in data.items():
-                    self._check_block(bdir, len(cd.offsets) - 1)
-                    rows = np.repeat(np.arange(len(cd.offsets) - 1),
-                                     np.diff(cd.offsets))
-                    set_cols[name].append((rows + bi * C, cd.values))
 
         from ..ops.residency import CACHE, block_col_key
+
+        # set columns get the same residency treatment as dense lanes:
+        # the per-block CSR caches host-side (no disk re-read per batch
+        # per query) and the padded batch arrays pin in HBM keyed like
+        # the dense batch entries, so warm set-filter queries upload
+        # nothing
+        set_batch_keys = {}
+        set_dev: dict[str, tuple] = {}
+        set_ncols: dict[str, list] = {}
+        for name in set_cols:
+            bkeys = tuple(
+                block_col_key(bdir, blockio.column_file(SET_VAL, name),
+                              name, C) for bdir in self.block_dirs)
+            set_batch_keys[name] = ("set_batch", name, bkeys, self.shards)
+            if self.global_mesh is None:
+                ent = CACHE.get(set_batch_keys[name])
+                if ent is not None:
+                    set_dev[name] = ent
+                    continue
+            ncols = set_ncols[name] = [-1] * B
+            for bi, bdir in enumerate(self.block_dirs):
+                if not nrec[bi]:
+                    continue
+                ck = ("setcsr",) + bkeys[bi]
+                cd = CACHE.get(ck)
+                if cd is None:
+                    raw = blockio.load_block_columns(
+                        bdir, schema, [name]).get(name)
+                    ncol = len(raw.offsets) - 1
+                    rows = np.repeat(np.arange(ncol),
+                                     np.diff(raw.offsets))
+                    cd = (rows, raw.values, ncol)
+                    CACHE.put(ck, cd)
+                self._check_block(bdir, cd[2])
+                ncols[bi] = cd[2]
+                set_cols[name].append((cd[0] + bi * C, cd[1]))
         gmesh = self.global_mesh
         if gmesh is not None:
             from ..parallel.multihost import global_batch_device
@@ -612,6 +756,12 @@ class BatchLoader:
 
         set_aux = {}
         for name, chunks in set_cols.items():
+            if name in set_dev:
+                prow_d, pval_d, ncols = set_dev[name]
+                for bdir, ncol in zip(self.block_dirs, ncols):
+                    self._check_block(bdir, ncol)
+                set_aux[name] = (prow_d, pval_d)
+                continue
             if chunks:
                 rows = np.concatenate([c[0] for c in chunks])
                 vals = np.concatenate([c[1] for c in chunks]).astype(np.int64)
@@ -640,7 +790,16 @@ class BatchLoader:
                 pval = np.full(m, -2, dtype=np.int64)
                 prow[:len(rows)] = rows
                 pval[:len(vals)] = vals
-            set_aux[name] = (prow, pval)
+            if self.global_mesh is None:
+                # pin the padded batch CSR in HBM like dense batches
+                import jax
+                dev = (jnp.asarray(prow), jnp.asarray(pval))
+                jax.block_until_ready(dev)
+                CACHE.put(set_batch_keys[name],
+                          (dev[0], dev[1], tuple(set_ncols[name])))
+                set_aux[name] = dev
+            else:
+                set_aux[name] = (prow, pval)
         return cols, nrec, set_aux
 
 
@@ -713,11 +872,25 @@ def _run_query_inner(table: Table, params: QueryParams,
                 error("data-shards", D, "must divide evenly across",
                       nproc, "processes")
 
+    if mesh is not None:
+        import dataclasses as _dc
+        # register planes don't ride the mesh shuffle payload (fall back
+        # to the sorted pair path), and shuffled table rows are not
+        # slot-aligned (keep the keyed table format on the wire)
+        bound.config = _dc.replace(bound.config, no_compact_table=True,
+                                   **({"hll": False, "hll_hash_idx": -1}
+                                      if bound.config.hll else {}))
+
     ctx = _ScanCtx(bound, infos, flags, params, timer, mesh, C,
                    multihost=multihost)
 
     cache_mode = (flags.cache_queries and not params.samples
                   and not flags.read_log)
+    if cache_mode and bound.config.window:
+        # grouped cache scans mix narrow and wide blocks freely; the
+        # banded kernel would spill on wide ones — use the plain kernel
+        import dataclasses as _dc
+        bound.config = _dc.replace(bound.config, window=0)
     if cache_mode:
         from . import cache as qcache
         acc = _Accumulator(bound)
@@ -746,17 +919,33 @@ def _run_query_inner(table: Table, params: QueryParams,
         if hits:
             debug("query cache:", hits, "group hits,", len(missed),
                   "misses,", len(rest), "uncacheable blocks")
-        # scan each missed group separately so its partial rows can be
-        # cached per immutable block group (query_cache.go:174-242;
-        # only-full-blocks rule :185)
-        for k, gdirs in missed:
-            if acc.distinct_limit_hit():
-                break
-            live = [d for d in gdirs if d in scanset]
+        # scan ALL missed groups through one batch pipeline (each group's
+        # partial rows land in its own accumulator) instead of one
+        # blocking round trip per group: the reference amortizes cache
+        # writes inside its scan goroutines (table_query.go:230-305), and
+        # the sequential form cost up to 40x an uncached scan in
+        # per-group device round trips alone
+        missed_live = [(k, [d for d in gdirs if d in scanset])
+                       for k, gdirs in missed]
+        group_accs = {}
+        if not acc.distinct_limit_hit():
+            to_scan = [(k, live) for k, live in missed_live if live]
+            if to_scan:
+                # one group per batch: groups are GROUP_SIZE blocks, so
+                # a full-size device batch would pad 16 real blocks to
+                # device_batch shapes of dead compute
+                Bg = min(B, qcache.GROUP_SIZE)
+                if flags.data_shards > 1:
+                    Bg = -(-Bg // flags.data_shards) * flags.data_shards
+                group_accs = _scan_dirs(ctx, [], Bg, allow_prune=False,
+                                        groups=to_scan)
+        for k, live in missed_live:
             if live:
-                sub = _scan_dirs(ctx, live, min(B, len(live)),
-                                 allow_prune=False)
-            else:        # whole group pruned: cache the empty partial
+                sub = group_accs.get(k)
+                if sub is None:
+                    continue  # distinct-limit stopped the scan early:
+                              # never cache a group that wasn't scanned
+            else:   # whole group pruned: cache the empty partial
                 sub = _Accumulator(bound)
             if mh.is_printer():  # one writer per mesh; others share disk
                 with timer.phase("cache_save"):
@@ -770,7 +959,23 @@ def _run_query_inner(table: Table, params: QueryParams,
             acc.maybe_prune()
     else:
         _maybe_device_prune(bound, params, block_dirs, B)
-        acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
+        wide = getattr(bound, "wide_dirs", None)
+        if (wide and 0 < bound.config.window < bound.config.dense_slots
+                and not params.samples and mesh is None):
+            # windowed rollup: scan the narrow (time-local) blocks with
+            # the banded kernel and the wide stragglers separately on
+            # the plain one; the accumulator merges the partials
+            import dataclasses as _dc
+            narrow = [d for d in block_dirs if d not in wide]
+            widel = [d for d in block_dirs if d in wide]
+            acc = _scan_dirs(ctx, narrow, B, allow_prune=True)
+            bound.config = _dc.replace(bound.config, window=0)
+            if widel:
+                acc.merge_from(_scan_dirs(ctx, widel,
+                                          min(B, len(widel)),
+                                          allow_prune=True))
+        else:
+            acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
 
     if flags.read_log:
         with timer.phase("rowstore"):
@@ -852,14 +1057,27 @@ PIPELINE = 4   # batches in flight before the oldest download blocks
 
 
 def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
-               allow_prune: bool) -> "_Accumulator":
+               allow_prune: bool, groups=None):
     """Scan a set of block dirs into a fresh accumulator, with the batch
-    pipeline and dense-spill retry scoped to this call."""
+    pipeline and dense-spill retry scoped to this call.
+
+    groups: optional [(key, dirs), ...].  When given, every group's
+    batches ride ONE shared pipeline but land in a per-group
+    accumulator, and the return value is {key: acc} for the groups whose
+    batches all completed — the cache path uses this so per-group cache
+    writes cost one pipelined pass instead of one blocking device round
+    trip per group (the reference amortizes cache writes inside its scan
+    goroutines, table_query.go:230-305)."""
     import dataclasses as _dc
 
     import jax.numpy as jnp
 
     from ..ops.residency import device_const
+
+    def _dev(x):
+        # set_aux arrives as HBM-pinned jax arrays when the loader's
+        # batch cache hit; only numpy falls through to device_const
+        return x if not isinstance(x, np.ndarray) else device_const(x)
 
     bound, flags, params, timer = ctx.bound, ctx.flags, ctx.params, ctx.timer
     mesh, C = ctx.mesh, ctx.C
@@ -875,37 +1093,65 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
         nproc = jax.process_count()
         pid = jax.process_index()
 
+    if groups is None:
+        work = [(None, block_dirs[s: s + B])
+                for s in range(0, len(block_dirs), B)]
+        all_dirs = block_dirs
+    else:
+        work = [(k, dirs[s: s + B])
+                for k, dirs in groups
+                for s in range(0, len(dirs), B)]
+        all_dirs = [d for _, dirs in groups for d in dirs]
+    n_batches = {}
+    for k, _ in work:
+        n_batches[k] = n_batches.get(k, 0) + 1
+
     for attempt in range(2):
-        acc = _Accumulator(bound)
-        if multihost:
-            # escalation downloads may hit sharded global arrays; fetch
-            # all-gathers them into replicated form first
-            acc.fetch = functools.partial(mh.fetch, mesh=mesh)
-        if not allow_prune:
-            acc.prune_cap = 0
+        accs: dict = {}
+        drained: dict = {}
+
+        def get_acc(k):
+            a = accs.get(k)
+            if a is None:
+                a = accs[k] = _Accumulator(bound)
+                if multihost:
+                    # escalation downloads may hit sharded global arrays;
+                    # fetch all-gathers them into replicated form first
+                    a.fetch = functools.partial(mh.fetch, mesh=mesh)
+                if not allow_prune:
+                    a.prune_cap = 0
+            return a
+
+        acc = get_acc(None) if groups is None else None
         spilled = False
         pending: list[tuple] = []
 
         def drain_one() -> bool:
-            packed, out, R, batch_dirs, nrec = pending.pop(0)
-            if acc.absorb_packed(packed, out, R) > 0:
+            gkey, packed, out, R, batch_dirs, nrec = pending.pop(0)
+            a = get_acc(gkey)
+            if a.absorb_packed(packed, out, R) > 0:
                 return False
+            drained[gkey] = drained.get(gkey, 0) + 1
             if allow_prune:
-                acc.maybe_prune()
-            if params.samples and \
-                    len(acc.sample_rows) < max(params.limit, 1) * 4:
-                acc.collect_samples(out, batch_dirs, nrec, C)
+                a.maybe_prune()
+            if params.samples and groups is None and \
+                    len(a.sample_rows) < max(params.limit, 1) * 4:
+                a.collect_samples(out, batch_dirs, nrec, C)
             return True
 
         def stop_early() -> bool:
-            return allow_prune and acc.distinct_limit_hit()
+            if params.num_distinct <= 0:
+                return False
+            if groups is None:
+                return allow_prune and acc.distinct_limit_hit()
+            return (sum(a.num_group_rows() for a in accs.values())
+                    >= params.num_distinct)
 
-        expected = {d: infos[d].num_records for d in block_dirs
+        expected = {d: infos[d].num_records for d in all_dirs
                     if d in infos}
-        for start in range(0, len(block_dirs), B):
+        for gkey, batch in work:
             if stop_early():
                 break
-            batch = block_dirs[start: start + B]
             batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
             R = B * C
             if multihost:
@@ -953,7 +1199,8 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                     out = sharded_scan(bound.config, mesh, jcols, jnrec,
                                        ctx.jfv, ctx.jbits, ctx.jtb, gsa)
                     packed = pack_jit(bound.config, out, R)
-                pending.append((packed, out, R, batch_dirs, nrec_global))
+                pending.append((gkey, packed, out, R, batch_dirs,
+                                nrec_global))
                 if len(pending) >= PIPELINE:
                     with timer.phase("drain"):
                         ok = drain_one()
@@ -977,7 +1224,7 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                     out = sharded_scan(
                         bound.config, mesh, jcols, jnrec, ctx.jfv,
                         ctx.jbits, ctx.jtb,
-                        {k: (device_const(r), device_const(v))
+                        {k: (_dev(r), _dev(v))
                          for k, (r, v) in set_aux.items()})
                     packed = pack_jit(bound.config, out, R)
                 else:
@@ -985,9 +1232,9 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                     packed, out = scan_packed_jit(
                         bound.config, jcols, jnrec, ctx.jfv, ctx.jbits,
                         ctx.jtb,
-                        {k: (device_const(r), device_const(v))
+                        {k: (_dev(r), _dev(v))
                          for k, (r, v) in set_aux.items()})
-            pending.append((packed, out, R, batch_dirs, nrec))
+            pending.append((gkey, packed, out, R, batch_dirs, nrec))
             if len(pending) >= PIPELINE:
                 with timer.phase("drain"):
                     ok = drain_one()
@@ -1003,13 +1250,20 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
             if not ok:
                 spilled = True
         if not spilled:
-            return acc
-        # an int/time group key fell outside its IntInfo bound (the stats
-        # are outlier-resistant): redo the scan on the sorted strategy
-        debug("dense key bound spilled; retrying on sorted strategy")
-        bound.config = _dc.replace(bound.config, force_sorted=True)
+            if groups is None:
+                return acc
+            return {k: a for k, a in accs.items()
+                    if drained.get(k, 0) == n_batches.get(k)}
+        # a group key fell outside its declared bound (outlier-resistant
+        # IntInfo, or dicts/stats that grew after bind): redo the scan on
+        # the unpacked sorted strategy, which has no static key bounds
+        debug("key bound spilled; retrying on unpacked sorted strategy")
+        bound.config = _dc.replace(bound.config, force_sorted=True,
+                                   sort_pack=())
         pending.clear()
-    return acc
+    return acc if groups is None else {
+        k: a for k, a in accs.items()
+        if drained.get(k, 0) == n_batches.get(k)}
 
 
 def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
@@ -1027,6 +1281,7 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
     if not n:
         return
     bound.refresh_str_filters()  # WAL-only strings got dict ids just now
+    bound.refresh_key_bounds()
     C = _pad_pow2(min(n, CHUNK_SIZE))
     nblocks = (n + C - 1) // C
     for b in range(nblocks):
@@ -1070,9 +1325,10 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
             jnp.asarray(params.time_bucket or 1, dtype=jnp.int64), set_aux)
         if acc.absorb_packed(packed, out, C) > 0:
             # WAL-only strings grew a dict past its bind-time bound:
-            # redo this pseudo-block on the sorted strategy
+            # redo this pseudo-block on the unpacked sorted strategy
             import dataclasses as _dc
-            bound.config = _dc.replace(bound.config, force_sorted=True)
+            bound.config = _dc.replace(bound.config, force_sorted=True,
+                                       sort_pack=())
             packed, out = scan_packed_jit(
                 bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
                 tuple(jnp.asarray(x) for x in bound.bitsets),
@@ -1268,13 +1524,36 @@ class _Accumulator:
         else:
             n = min(num_groups, S)
 
-        if n > P:
-            table = self.fetch(packed["table"][:n])  # escalation
+        from ..ops.scan import dense_keys_np, dense_table_plan
+        plan = dense_table_plan(config, R)
+        if plan is not None:
+            # compact dense table: no key columns (slots are arithmetic,
+            # decoded host-side), int32 pair packing when bounds allow
+            wpr = layout["table_wpr"]
+            words = section_flat("table", P * wpr).reshape(P, wpr)
+            nc = len(plan["cols"])
+            npack = -(-nc // 2) if plan["i32"] else nc
+            if plan["i32"]:
+                a32 = np.ascontiguousarray(
+                    words[:, :npack]).view("<i4").reshape(P, npack * 2)
+                colmap = {nme: a32[:, j].astype(np.int64)
+                          for j, nme in enumerate(plan["cols"])}
+            else:
+                colmap = {nme: words[:, j]
+                          for j, nme in enumerate(plan["cols"])}
+            for j, nme in enumerate(plan["i64_cols"]):
+                colmap[nme] = words[:, npack + j]
+            keys = dense_keys_np(config, p.time_bucket or 1)
+            counts = colmap["count"]
+            samples = colmap["samples"]
         else:
-            table = main[1: 1 + n]
-        keys = table[:, :K]
-        counts = table[:, K]
-        samples = table[:, K + 1]
+            if n > P:
+                table = self.fetch(packed["table"][:n])  # escalation
+            else:
+                table = main[1: 1 + n]
+            keys = table[:, :K]
+            counts = table[:, K]
+            samples = table[:, K + 1]
         active = np.nonzero((samples != 0) | (counts != 0))[0]
         if pruned:
             # kept rows undercount: use the device-side totals, and bank
@@ -1302,19 +1581,40 @@ class _Accumulator:
 
         aggdata = []
         vbias = config.agg_vbias or ()
+        sent_mn = sent_mx = None
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
-            base = K + 2 + 5 * ai
-            wv = table[:, base + 2]
-            if ai < len(vbias) and vbias[ai]:
-                # the device summed kw*(v-bias); add bias*Σkw back
-                wv = wv + vbias[ai] * table[:, base + 1]
-            d = {
-                "exists": table[:, base] != 0,
-                "count": table[:, base + 1],
-                "wv": wv,
-                "min": table[:, base + 3],
-                "max": table[:, base + 4],
-            }
+            if plan is not None:
+                acnt = colmap[f"agg{ai}_count"]
+                wv = colmap[f"agg{ai}_wv"]
+                if ai < len(vbias) and vbias[ai]:
+                    # the device summed kw*(v-bias); add bias*Σkw back
+                    wv = wv + vbias[ai] * acnt
+                if f"agg{ai}_min" not in colmap:
+                    # avg-op aggs never ship min/max (they were already
+                    # empty-slot sentinels on the wire before round 4)
+                    if sent_mn is None:
+                        sent_mn = np.full(P, 2**62, dtype=np.int64)
+                        sent_mx = np.full(P, -2**62, dtype=np.int64)
+                d = {
+                    "exists": colmap[f"agg{ai}_exists"] != 0,
+                    "count": acnt,
+                    "wv": wv,
+                    "min": colmap.get(f"agg{ai}_min", sent_mn),
+                    "max": colmap.get(f"agg{ai}_max", sent_mx),
+                }
+            else:
+                base = K + 2 + 5 * ai
+                wv = table[:, base + 2]
+                if ai < len(vbias) and vbias[ai]:
+                    # the device summed kw*(v-bias); add bias*Σkw back
+                    wv = wv + vbias[ai] * table[:, base + 1]
+                d = {
+                    "exists": table[:, base] != 0,
+                    "count": table[:, base + 1],
+                    "wv": wv,
+                    "min": table[:, base + 3],
+                    "max": table[:, base + 4],
+                }
             if ai in nouts and dense:  # dense hist agg: bucket matrix
                 Ph = min(config.hist_prefix, config.dense_slots)
                 if num_groups > Ph:   # actives overflow the compaction:
@@ -1361,7 +1661,32 @@ class _Accumulator:
 
         rows_map = self.rows
         n_aggs = len(aggdata)
-        for i, gi in enumerate(active_l):
+        if not rows_map and all("hist_get" not in d for d in aggdata):
+            # first batch, plain aggs: build each row dict in one shot
+            # (no .get probe, no incremental +=) — the absorb loop is
+            # the host hot path for many-group rollups
+            for i in range(len(active_l)):
+                kt = tuple(keys_l[i])
+                if kt and kt[0] == SENTINEL:
+                    continue
+                aggs = []
+                for ai in range(n_aggs):
+                    ex, cnt, wv, mn_l, mx_l = agg_l[ai]
+                    if ex[i]:
+                        c = cnt[i]
+                        aggs.append({"count": c, "wv": wv[i],
+                                     "min": mn_l[i] if c > 0 else None,
+                                     "max": mx_l[i] if c > 0 else None,
+                                     "hist": None, "outliers": []})
+                    else:
+                        aggs.append(None)
+                rows_map[kt] = {"count": counts_l[i],
+                                "samples": samples_l[i],
+                                "aggs": aggs, "distinct": None}
+            general_l = []        # handled; skip the general loop
+        else:
+            general_l = active_l
+        for i, gi in enumerate(general_l):
             kt = tuple(keys_l[i])
             if kt and kt[0] == SENTINEL:
                 continue
@@ -1434,6 +1759,33 @@ class _Accumulator:
                 nkall = config.n_all_keys
                 skeys = block[block[:, nkall] != 0, :nkall]
             self._absorb_distinct(skeys, K)
+        elif p.distincts and config.hll and dense and len(active):
+            # device HLL: merge the shipped register planes by max
+            from ..ops.scan import HLL_M
+            Phll = layout["Phll"]
+            gids_h = section_flat("hll_gids", Phll).astype(np.int64)
+            words = section_flat("hll_regs", Phll * (HLL_M // 8))
+            regs = np.ascontiguousarray(
+                words.astype("<i8")).view(np.uint8).reshape(Phll, HLL_M)
+            row_of = {int(g): i for i, g in enumerate(gids_h.tolist())}
+            full = None
+            if len(active) > Phll:   # live groups overflow the shipment
+                full = np.asarray(self.fetch(out["hll_regs"]))
+            for i, gi in enumerate(active_l):
+                if full is not None:
+                    plane = full[gi]
+                else:
+                    hr = row_of.get(gi)
+                    if hr is None:
+                        continue
+                    plane = regs[hr]
+                row = self.rows.get(tuple(keys_l[i]))
+                if row is None:
+                    continue
+                if row["distinct"] is None:
+                    row["distinct"] = HLL()
+                np.maximum(row["distinct"].registers, plane,
+                           out=row["distinct"].registers)
         self.batches += 1
         return 0
 
@@ -1658,6 +2010,15 @@ class _Accumulator:
                 if cur.get("td") is not None:
                     h.td.merge(cur["td"])
                 res.hists[adef.col] = h
+                continue
+            if not want_hist and not cur["outliers"] and \
+                    cur.get("hist") is None and cur["min"] is not None:
+                # plain-avg hot path: one hist per group row; skip the
+                # bucket-layout init entirely (many-group rollups build
+                # thousands of these per query)
+                res.hists[adef.col] = BasicHist.from_sums(
+                    info.min, info.max, cur["count"], cur["wv"],
+                    cur["min"], cur["max"])
                 continue
             cls = MultiHist if (want_hist and hist_type == "multi") else BasicHist
             h = cls(info.min, info.max, p.hist_bucket, percentile_mode=want_hist)

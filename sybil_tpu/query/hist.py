@@ -45,7 +45,37 @@ def basic_bucket_layout(info_min: int, info_max: int, hist_bucket: int = 0,
     return bucket_size, num_buckets + 1
 
 
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)   # shared; never mutated in place
+
+
 class BasicHist:
+    __slots__ = ("info_min", "info_max", "hist_bucket", "percentile_mode",
+                 "min", "max", "count", "samples", "avg", "bucket_size",
+                 "num_values", "values", "outliers", "underliers")
+
+    @classmethod
+    def from_sums(cls, info_min: int, info_max: int, count: int, wv,
+                  vmin: int, vmax: int) -> "BasicHist":
+        """Minimal avg-op construction from device sums (no bucket
+        arrays, no layout math) — the finish path creates one hist per
+        group row, and for plain-avg rollups this is the hot loop."""
+        h = object.__new__(cls)
+        h.info_min = info_min
+        h.info_max = info_max
+        h.hist_bucket = 0
+        h.percentile_mode = False
+        h.min = vmin if vmin < info_min else info_min
+        h.max = vmax if vmax > info_max else info_max
+        h.count = count
+        h.samples = 0
+        h.avg = wv / count if count else 0.0
+        h.bucket_size = 0
+        h.num_values = 0
+        h.values = _EMPTY_I64
+        h.outliers = []
+        h.underliers = []
+        return h
+
     def __init__(self, info_min: int, info_max: int, hist_bucket: int = 0,
                  percentile_mode: bool = True):
         self.info_min = int(info_min)

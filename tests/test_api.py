@@ -46,8 +46,12 @@ def test_filters_and_getters(api_table):
     rows = (api_table.query().group_by("state")
             .int_filter_gt("age", 44).int_filter_lt("age", 47)
             .execute())
-    # ages 45,46 -> 6 rows per age cycle of 50 -> 12 total
+    # ages 45,46 -> 6 rows per age cycle of 50 -> 12 total, 4 per state
+    # (per-group assertion: round 4 found stale read-log key bounds
+    # silently merging groups while keeping the total right)
     assert sum(r["Count"] for r in rows) == 12
+    assert {r["state"]: r["Count"] for r in rows} == \
+        {"CA": 4, "NY": 4, "TX": 4}
     state, ok = rows[0].str("state")
     assert ok and state in ("CA", "NY", "TX")
     count, ok = rows[0].int("Count")

@@ -219,3 +219,50 @@ def test_cumulative(table):
     params = QueryParams(groups=("host",))
     e, o = run_both(table, params)
     assert e.cumulative.count == o.cumulative.count == 2000
+
+
+def test_distinct_device_hll_int_col(table):
+    """Int distinct columns hash in-kernel (FNV-1a over the 8 LE value
+    bytes + splitmix, ops/scan.py _hash_int_col) — estimates must be
+    bit-identical to the host HLL's int fast path."""
+    from sybil_tpu.query.engine import BoundQuery
+    params = QueryParams(groups=("status",), distincts=("index_int",))
+    bound = BoundQuery(table._engine_table if hasattr(table, "_engine_table")
+                       else table, params, table.flags)
+    assert bound.config.hll and bound.config.hll_hash_idx == -1
+    e, o = run_both(table, params)
+    assert set(e.results) == set(o.results)
+    for k in o.results:
+        assert e.results[k].distinct.cardinality() == \
+            o.results[k].distinct.cardinality(), k
+
+
+def test_distinct_device_hll_multibatch_and_escalation(tmp_path):
+    """Register planes merge by max across batches, and live groups
+    beyond the shipped-plane cap (hll_ship) escalate to the full
+    register array — both must stay estimate-identical to the host."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.query.oracle import run_oracle
+    flags = Flags(dir=str(tmp_path), table="hllesc", device_batch=1)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 256
+    try:
+        t = Table("hllesc", flags)
+        # 20 groups (> hll_ship=8) x ~40 distinct users, over >=8 blocks
+        recs = [flatten_record({"g": f"g{i % 20}", "u": f"user{i % 800}",
+                                "time": i}) for i in range(2400)]
+        for s in range(0, len(recs), 1200):
+            t.ingest_records(recs[s: s + 1200])
+            digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    t.load_info()
+    params = QueryParams(groups=("g",), distincts=("u",))
+    from sybil_tpu.query.engine import BoundQuery
+    assert BoundQuery(t, params, flags).config.hll
+    e = run_query(t, params, flags)
+    o = run_oracle(t, params, flags)
+    assert set(e.results) == set(o.results) and len(e.results) == 20
+    for k in o.results:
+        assert e.results[k].distinct.cardinality() == \
+            o.results[k].distinct.cardinality(), k

@@ -458,3 +458,163 @@ def test_prune_gate_small_tables_stay_exact(tmp_path):
     assert len(qr.results) <= n20 // 2
     assert qr.cumulative.count == n20
     assert qr.matched_count == n20
+
+
+def test_set_column_residency(tmp_table, monkeypatch):
+    """Set columns get the dense-column residency treatment: the second
+    run of a set-filter query re-reads no set files and rebuilds no CSR
+    (round-4; dense-lane analog is ops/residency.py)."""
+    t = Table(tmp_table.table, tmp_table)
+    recs = [flatten_record({"uid": i % 7, "groups": [f"g{i % 3}", "all"]})
+            for i in range(600)]
+    t.ingest_records(recs)
+    digest_records(t)
+    params = QueryParams(groups=("uid",),
+                         filters=(FilterDef("groups", "in", "g1", "set"),))
+    first = run_query(t, params, tmp_table)
+
+    calls = []
+    real = blocks.load_block_columns
+
+    def spy(bdir, schema, cols):
+        calls.append(tuple(cols))
+        return real(bdir, schema, cols)
+
+    monkeypatch.setattr(blocks, "load_block_columns", spy)
+    second = run_query(t, params, tmp_table)
+    set_reads = [c for c in calls if "groups" in c]
+    assert set_reads == [], f"set column re-read from disk: {set_reads}"
+    a = {k: r.count for k, r in first.results.items()}
+    b = {k: r.count for k, r in second.results.items()}
+    assert a == b and sum(a.values()) == 200
+
+
+def test_enum_strategy_high_card_prune(tmp_table):
+    """The enumerated strategy (sort + cumsum + searchsorted, round 4)
+    must engage for device-pruned packed high-cardinality group-bys and
+    return exactly what the host prune over the sorted strategy returns:
+    same top groups, same counts/avgs, same Cumulative."""
+    import dataclasses
+
+    import sybil_tpu.digest as dg
+    from sybil_tpu.ops import scan as scanops
+
+    tmp_table.device_batch = 4
+    rng = np.random.default_rng(7)
+    # > DENSE_SLOT_CAP distinct uids so the dense strategy is out and
+    # the packed sorted/enumerated path is the only device option
+    heavy = rng.zipf(1.25, 12000) % 3000
+    tail = np.arange(10000) + 100000
+    uid = np.concatenate([heavy, tail])
+    rng.shuffle(uid)
+    n = len(uid)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 1024   # >16 blocks so the device prune engages
+    try:
+        t = Table(tmp_table.table, tmp_table)
+        t.ingest_columns(ints={"v": vals},
+                         strs={"u": [f"person{x}" for x in uid]})
+    finally:
+        dg.CHUNK_SIZE = old
+
+    params = QueryParams(groups=("u",), aggs=(AggDef("v", "avg"),),
+                         limit=5, prune_by="$COUNT")
+
+    seen = {}
+    real_enum = scanops.enum_radix
+
+    def spy(config):
+        r = real_enum(config)
+        if config.prune_topk > 0:
+            seen["radix"] = r
+        return r
+
+    scanops.enum_radix = spy
+    try:
+        qr = run_query(t, params, tmp_table)
+    finally:
+        scanops.enum_radix = real_enum
+    assert seen.get("radix", 0) > 0, "enumerated strategy did not engage"
+
+    # ground truth: exact scan (no pruning anywhere)
+    exact = run_query(t, QueryParams(groups=("u",),
+                                     aggs=(AggDef("v", "avg"),)), tmp_table)
+    top = sorted(exact.results.values(), key=lambda r: -r.count)[:5]
+    got = sorted(qr.results.values(), key=lambda r: -r.count)[:5]
+    assert [(r.group_key, r.count) for r in got] == \
+        [(r.group_key, r.count) for r in top]
+    for g, e in zip(got, top):
+        assert abs(g.hists["v"].mean() - e.hists["v"].mean()) < 1e-9
+    assert qr.matched_count == n
+    assert qr.cumulative.count == n
+
+
+def test_windowed_rollup_parity(tmp_table):
+    """Windowed dense accumulation (round 4): digest time-sorts rows, so
+    each block spans a narrow time band; the kernel one-hots only a
+    [window, C] band per chunk.  The window must engage for a
+    multi-block rollup and produce exactly the full-path results."""
+    import dataclasses
+
+    import sybil_tpu.digest as dg
+    from sybil_tpu.query import engine as eng
+
+    rng = np.random.default_rng(11)
+    n = 8192
+    times = rng.integers(0, 160_000, n).astype(np.int64)
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 512    # one digest -> 16 time-partitioned blocks
+    try:
+        t = Table(tmp_table.table, tmp_table)
+        t.ingest_columns(
+            ints={"time": times, "v": rng.integers(0, 50, n).astype(np.int64)},
+            strs={"act": [f"a{i % 5}" for i in range(n)]})
+    finally:
+        dg.CHUNK_SIZE = old
+
+    params = QueryParams(groups=("act",), aggs=(AggDef("v", "avg"),),
+                         time_bucket=1000, time_col="time")
+
+    seen = {}
+    real = eng.BoundQuery.apply_exact_bounds
+
+    def spy(self, infos, dirs):
+        real(self, infos, dirs)
+        seen["window"] = self.config.window
+        seen["slots"] = self.config.dense_slots
+
+    eng.BoundQuery.apply_exact_bounds = spy
+    try:
+        qr = run_query(t, params, tmp_table)
+    finally:
+        eng.BoundQuery.apply_exact_bounds = real
+    assert 0 < seen["window"] < seen["slots"], seen
+
+    oracle = run_oracle(t, params, tmp_table)
+    got = {(tb, k): r.count for tb, rs in qr.time_results.items()
+           for k, r in rs.items()}
+    want = {(tb, k): r.count for tb, rs in oracle.time_results.items()
+            for k, r in rs.items()}
+    assert got == want and sum(got.values()) == n
+    for tb, rs in oracle.time_results.items():
+        for k, r in rs.items():
+            assert abs(qr.time_results[tb][k].hists["v"].mean()
+                       - r.hists["v"].mean()) < 1e-9
+
+
+def test_enum_strategy_fallback_no_bounds(tmp_table, monkeypatch):
+    """Without exact per-lane row bounds the enumerated strategy must
+    fall back to the carry-idx + gather path and stay parity-exact."""
+    import dataclasses
+
+    from sybil_tpu.query import engine as eng
+
+    real = eng.BoundQuery.apply_exact_bounds
+
+    def strip(self, infos, dirs):
+        real(self, infos, dirs)
+        self.config = dataclasses.replace(self.config, lane_row_bounds=())
+
+    monkeypatch.setattr(eng.BoundQuery, "apply_exact_bounds", strip)
+    test_enum_strategy_high_card_prune(tmp_table)
