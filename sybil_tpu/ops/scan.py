@@ -155,6 +155,12 @@ class ScanConfig:
     # int64 carried THROUGH the sort — replacing a 40-byte/row gather
     # with a sort operand and one cumsum (measured 67ms -> 5ms at 4M).
     lane_row_bounds: tuple[int, ...] = ()
+    # lanes PROVEN equal to the per-group matched-row count (samples):
+    # a fully-populated agg column makes its exists lane redundant, and
+    # with discard-proof bounds and no weight column its kw lane too —
+    # the enumerated strategy then derives them from the key ranges for
+    # free instead of carrying them through the sort
+    lane_nrows: tuple[bool, ...] = ()
     # mesh scans shuffle the table: rows are no longer slot-aligned, so
     # the compact (keyless) dense table download must stay off
     no_compact_table: bool = False
@@ -1151,6 +1157,8 @@ def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     rb = (config.lane_row_bounds
           if len(config.lane_row_bounds) == L else None)
     skip = {1} | ({0} if not config.weight_col else set())
+    if len(config.lane_nrows) == L:
+        skip |= {i for i, eq in enumerate(config.lane_nrows) if eq}
     carry_plan = None
     if rb:
         plan, cur, used, ok = [], [], 0, True
@@ -1189,17 +1197,23 @@ def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     if carry_plan is not None:
         carriers = []
         for group in carry_plan:
+            bits_total = group[-1][1] + group[-1][2]
+            dt = jnp.int32 if bits_total <= 31 else jnp.int64
             c = jnp.zeros((R,), jnp.int64)
             for (i, off, _) in group:
                 c = c | (lanes64[:, i] << off)   # nonneg, disjoint fields
-            carriers.append(c)
+            carriers.append(c.astype(dt))        # narrow sort payload
         sorted_ops = jax.lax.sort([packed, *carriers], num_keys=1)
-        cums = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=1), axis=0)
-        diffs = segdiff_rows(cums)                     # [radix, ncarriers]
         cols_out = {}
         for gi, group in enumerate(carry_plan):
+            cum = jnp.cumsum(sorted_ops[1 + gi].astype(jnp.int64))
+            chi = jnp.where(hi > 0,
+                            jnp.take(cum, jnp.maximum(hi - 1, 0)), 0)
+            clo = jnp.where(lo > 0,
+                            jnp.take(cum, jnp.maximum(lo - 1, 0)), 0)
+            diff = jnp.where(live, chi - clo, 0)
             for (i, off, bits) in group:
-                cols_out[i] = (diffs[:, gi] >> off) & ((1 << bits) - 1)
+                cols_out[i] = (diff >> off) & ((1 << bits) - 1)
         sums = jnp.stack(
             [cols_out.get(i, nrows) for i in range(L)], axis=1)
     else:

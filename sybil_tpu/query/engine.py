@@ -306,16 +306,37 @@ class BoundQuery:
             if 0 < prod < (1 << 62):    # packed key must fit int64
                 sort_pack = tuple(key_bounds)
 
+        def fully_populated(col: str) -> bool:
+            """Every scanned block has the column populated in ALL its
+            rows (IntInfo.count is the per-block populated count)."""
+            kid = schema.key_table.get(col)
+            if kid is None:
+                return False
+            for d in block_dirs:
+                info = infos.get(d)
+                if info is None:
+                    return False
+                ii = info.int_info.get(kid)
+                if ii is None or ii.count != info.num_records:
+                    return False
+            return bool(block_dirs)
+
         wmax = wb[1] if wb else 0
         wl = limbs_for(wmax) if wb else 8
         lanes = [wl, 1]
         row_bounds = [wmax if wb else 0, 1]   # 0 = unknown
+        lane_nrows = [not p.weight_col, True]
         vbias = []
         for agg in self.config.aggs:
             lanes.append(1)          # exists
             lanes.append(wl)         # kw
             row_bounds += [1, wmax if wb else 0]
+            full = fully_populated(agg.col)
             vb = exact(agg.col) if wb else None
+            discard_ok = (vb is not None and vb[0] >= agg.discard_min
+                          and vb[1] <= agg.discard_max)
+            lane_nrows += [full,
+                           full and discard_ok and not p.weight_col]
             done = False
             if vb is not None:
                 vlo = max(vb[0], agg.discard_min)
@@ -332,8 +353,9 @@ class BoundQuery:
                 lanes.append(8)
                 row_bounds.append(0)
                 vbias.append(0)
+            lane_nrows.append(False)
         if all(x == 8 for x in lanes):
-            lanes, vbias, row_bounds = [], [], []
+            lanes, vbias, row_bounds, lane_nrows = [], [], [], []
 
         # outlier machinery (masks + a top_k over all R rows per hist
         # agg) is only needed when a kept value CAN overflow the bucket
@@ -399,7 +421,8 @@ class BoundQuery:
             key_bounds=tuple(key_bounds), sort_pack=sort_pack,
             track_outliers=track_outliers, window=window,
             lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias),
-            lane_row_bounds=tuple(row_bounds))
+            lane_row_bounds=tuple(row_bounds),
+            lane_nrows=tuple(lane_nrows))
 
     def _hll_hash_array(self, dcol: str) -> np.ndarray:
         """Per-dict-id uint64 hashes of (display string + delimiter);
@@ -968,12 +991,9 @@ def _run_query_inner(table: Table, params: QueryParams,
             import dataclasses as _dc
             narrow = [d for d in block_dirs if d not in wide]
             widel = [d for d in block_dirs if d in wide]
-            acc = _scan_dirs(ctx, narrow, B, allow_prune=True)
-            bound.config = _dc.replace(bound.config, window=0)
-            if widel:
-                acc.merge_from(_scan_dirs(ctx, widel,
-                                          min(B, len(widel)),
-                                          allow_prune=True))
+            cfg_wide = _dc.replace(bound.config, window=0)
+            acc = _scan_dirs(ctx, narrow, B, allow_prune=True,
+                             extra=((widel, cfg_wide),) if widel else ())
         else:
             acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
 
@@ -1057,7 +1077,7 @@ PIPELINE = 4   # batches in flight before the oldest download blocks
 
 
 def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
-               allow_prune: bool, groups=None):
+               allow_prune: bool, groups=None, extra=()):
     """Scan a set of block dirs into a fresh accumulator, with the batch
     pipeline and dense-spill retry scoped to this call.
 
@@ -1094,16 +1114,24 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
         pid = jax.process_index()
 
     if groups is None:
-        work = [(None, block_dirs[s: s + B])
+        work = [(None, block_dirs[s: s + B], B, None)
                 for s in range(0, len(block_dirs), B)]
-        all_dirs = block_dirs
+        all_dirs = list(block_dirs)
     else:
-        work = [(k, dirs[s: s + B])
+        work = [(k, dirs[s: s + B], B, None)
                 for k, dirs in groups
                 for s in range(0, len(dirs), B)]
         all_dirs = [d for _, dirs in groups for d in dirs]
+    # extra: [(dirs, config), ...] — batches scanned under a DIFFERENT
+    # static config but riding the same pipeline (the rollup wide-block
+    # pass; one drain stream instead of a second blocking round trip)
+    for dirs_x, cfg_x in extra:
+        Bx = max(1, min(B, len(dirs_x)))
+        work += [(None, dirs_x[s: s + Bx], Bx, cfg_x)
+                 for s in range(0, len(dirs_x), Bx)]
+        all_dirs += list(dirs_x)
     n_batches = {}
-    for k, _ in work:
+    for k, *_ in work:
         n_batches[k] = n_batches.get(k, 0) + 1
 
     for attempt in range(2):
@@ -1127,9 +1155,9 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
         pending: list[tuple] = []
 
         def drain_one() -> bool:
-            gkey, packed, out, R, batch_dirs, nrec = pending.pop(0)
+            gkey, cfg, packed, out, R, batch_dirs, nrec = pending.pop(0)
             a = get_acc(gkey)
-            if a.absorb_packed(packed, out, R) > 0:
+            if a.absorb_packed(packed, out, R, cfg) > 0:
                 return False
             drained[gkey] = drained.get(gkey, 0) + 1
             if allow_prune:
@@ -1149,17 +1177,20 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
 
         expected = {d: infos[d].num_records for d in all_dirs
                     if d in infos}
-        for gkey, batch in work:
+        for gkey, batch, Bi, cfg_item in work:
             if stop_early():
                 break
-            batch_dirs = batch + [batch[-1]] * (B - len(batch))  # pad
-            R = B * C
+            cfg = cfg_item if cfg_item is not None else bound.config
+            if attempt and cfg_item is not None:
+                cfg = _dc.replace(cfg, force_sorted=True, sort_pack=())
+            batch_dirs = batch + [batch[-1]] * (Bi - len(batch))  # pad
+            R = Bi * C
             if multihost:
                 # each process loads/feeds only its local span of the
                 # global batch; arrays are stitched into one global
                 # array sharded over the mesh (parallel/multihost.py)
                 D = flags.data_shards
-                Bl = B // nproc
+                Bl = Bi // nproc
                 lo = pid * Bl
                 local_dirs = batch_dirs[lo: lo + Bl]
                 with timer.phase("load"):
@@ -1182,7 +1213,7 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                     jcols = cols   # already mesh-sharded global arrays
                     jnrec = mh.global_batch(mesh, nrec)
                     gsa = {}
-                    R_local = (B // D) * C
+                    R_local = (Bi // D) * C
                     for k, (prow, pval) in set_aux.items():
                         # pad widths must agree across processes
                         m_t = mh.allgather_max(prow.shape[1])
@@ -1196,10 +1227,10 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                             prow, pval = pr, pv
                         gsa[k] = (mh.global_batch(mesh, prow),
                                   mh.global_batch(mesh, pval))
-                    out = sharded_scan(bound.config, mesh, jcols, jnrec,
+                    out = sharded_scan(cfg, mesh, jcols, jnrec,
                                        ctx.jfv, ctx.jbits, ctx.jtb, gsa)
-                    packed = pack_jit(bound.config, out, R)
-                pending.append((gkey, packed, out, R, batch_dirs,
+                    packed = pack_jit(cfg, out, R)
+                pending.append((gkey, cfg, packed, out, R, batch_dirs,
                                 nrec_global))
                 if len(pending) >= PIPELINE:
                     with timer.phase("drain"):
@@ -1222,19 +1253,19 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                     from ..ops.scan import pack_jit
                     from ..parallel.mesh import sharded_scan
                     out = sharded_scan(
-                        bound.config, mesh, jcols, jnrec, ctx.jfv,
+                        cfg, mesh, jcols, jnrec, ctx.jfv,
                         ctx.jbits, ctx.jtb,
                         {k: (_dev(r), _dev(v))
                          for k, (r, v) in set_aux.items()})
-                    packed = pack_jit(bound.config, out, R)
+                    packed = pack_jit(cfg, out, R)
                 else:
                     from ..ops.scan import scan_packed_jit
                     packed, out = scan_packed_jit(
-                        bound.config, jcols, jnrec, ctx.jfv, ctx.jbits,
+                        cfg, jcols, jnrec, ctx.jfv, ctx.jbits,
                         ctx.jtb,
                         {k: (_dev(r), _dev(v))
                          for k, (r, v) in set_aux.items()})
-            pending.append((gkey, packed, out, R, batch_dirs, nrec))
+            pending.append((gkey, cfg, packed, out, R, batch_dirs, nrec))
             if len(pending) >= PIPELINE:
                 with timer.phase("drain"):
                     ok = drain_one()
@@ -1465,7 +1496,7 @@ class _Accumulator:
                 self.cum_extra_samples += row["samples"]
         self.rows = kept_rows
 
-    def absorb_packed(self, packed, out, R: int) -> int:
+    def absorb_packed(self, packed, out, R: int, config=None) -> int:
         """Parse the single packed download (ops/scan.py pack_outputs):
         row 0 meta [num_groups, spill, nout per hist agg..., npairs]; then
         the group-table prefix; then per-hist-agg compacted outlier rows;
@@ -1474,7 +1505,8 @@ class _Accumulator:
         Returns the dense-strategy spill count (>0 => caller must retry
         on the sorted strategy; this batch's rows were NOT absorbed)."""
         from ..ops.scan import SENTINEL, packed_layout, table_prefix
-        config = self.bound.config
+        if config is None:
+            config = self.bound.config
         dense = config.strategy == "dense"
         p = self.params
         main = self.fetch(packed["main"])  # the one download
