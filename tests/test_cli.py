@@ -240,3 +240,34 @@ def test_streaming_ingest_constant_memory(tmp_path):
     t = Table("s", Flags(dir=d, table="s"))
     n = sum(len(rowstore.read_log(f)) for f in rowstore.list_logs(t.dir))
     assert n == 340000
+
+
+def test_yaml_template_generator_ingest(tmp_path):
+    """plait-analog: declarative YAML template -> JSON lines -> ingest
+    (reference scripts/plait/*.yaml workflow)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/fakedata/from_yaml.py"),
+         os.path.join(repo, "scripts/plait/host_generator.yaml"),
+         "50", "--seed", "7"],
+        capture_output=True, text=True, check=True)
+    lines = gen.stdout.strip().splitlines()
+    assert len(lines) == 50
+    rec = json.loads(lines[0])
+    assert {"status", "host", "ping", "weight", "time"} <= set(rec)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    subprocess.run(
+        [sys.executable, "-m", "sybil_tpu", "ingest", "-dir",
+         str(tmp_path), "-table", "yamlgen"],
+        input=gen.stdout, capture_output=True, text=True, check=True,
+        env=env)
+    q = subprocess.run(
+        [sys.executable, "-m", "sybil_tpu", "query", "-dir",
+         str(tmp_path), "-table", "yamlgen", "-read-log", "-json"],
+        capture_output=True, text=True, check=True, env=env)
+    rows = json.loads(q.stdout)
+    assert sum(r["Count"] for r in rows) == 50
