@@ -116,6 +116,8 @@ def _cache_path(table: Table, key: str) -> str:
 
 
 def _rows_to_wire(acc) -> dict:
+    if hasattr(acc, "_materialize"):
+        acc._materialize()   # fold any parked columnar batches first
     rows = []
     for kt, row in acc.rows.items():
         aggs = []

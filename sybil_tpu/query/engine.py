@@ -1076,6 +1076,19 @@ class _ScanCtx:
 PIPELINE = 4   # batches in flight before the oldest download blocks
 
 
+def _start_d2h(packed) -> None:
+    """Kick off the device->host copy of a batch's packed buffer as soon
+    as it is dispatched: the drain loop's np.asarray then finds the
+    bytes already in flight instead of paying one full round trip per
+    batch serially — the difference between ~30ms and ~30ms*n_batches
+    of pure link latency on multi-batch scans (the cache-write path
+    dispatches one batch per 16-block group)."""
+    try:
+        packed["main"].copy_to_host_async()
+    except Exception:  # noqa: BLE001 - sharded/multihost arrays fetch later
+        pass
+
+
 def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                allow_prune: bool, groups=None, extra=()):
     """Scan a set of block dirs into a fresh accumulator, with the batch
@@ -1266,6 +1279,7 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                         {k: (_dev(r), _dev(v))
                          for k, (r, v) in set_aux.items()})
             pending.append((gkey, cfg, packed, out, R, batch_dirs, nrec))
+            _start_d2h(packed)
             if len(pending) >= PIPELINE:
                 with timer.phase("drain"):
                     ok = drain_one()
@@ -1379,6 +1393,12 @@ class _Accumulator:
         self.fetch = np.asarray
         # key tuple -> accumulated plain sums
         self.rows: dict[tuple, dict] = {}
+        # columnar fast lane: simple-shape batches (no hist/distinct/
+        # outlier/prune state) park their active rows as numpy arrays
+        # and only materialize into `rows` dicts when a slow-path
+        # consumer (cache save, cross-accumulator merge, pruning) needs
+        # them; `finish` consumes them vectorized otherwise
+        self.np_batches: list[tuple] = []
         self.matched_count = 0
         # device-pruned rows' count/sample sums (kept for Cumulative)
         self.cum_extra_count = 0
@@ -1403,6 +1423,7 @@ class _Accumulator:
     def num_group_rows(self) -> int:
         """Distinct group count (the reference's len(Results), used by the
         distinct-limit early exit, table_query.go:263-279)."""
+        self._materialize()
         if self.params.time_bucket > 0:
             return len({self._group_part(k) for k in self.rows})
         return len(self.rows)
@@ -1412,9 +1433,53 @@ class _Accumulator:
         return (self.params.num_distinct > 0
                 and self.num_group_rows() >= self.params.num_distinct)
 
+    def _materialize(self) -> None:
+        """Fold parked columnar batches into the `rows` dict (slow-path
+        consumers: merges, pruning, cache serialization)."""
+        if not self.np_batches:
+            return
+        batches, self.np_batches = self.np_batches, []
+        rows_map = self.rows
+        for ak, counts, samples, aggs in batches:
+            keys_l = ak.tolist()
+            counts_l = counts.tolist()
+            samples_l = samples.tolist()
+            agg_l = [(np.asarray(ex).tolist(), cnt.tolist(), wv.tolist(),
+                      mn.tolist(), mx.tolist())
+                     for ex, cnt, wv, mn, mx in aggs]
+            n_aggs = len(aggs)
+            for i in range(len(keys_l)):
+                kt = tuple(keys_l[i])
+                row = rows_map.get(kt)
+                if row is None:
+                    row = {"count": 0, "samples": 0,
+                           "aggs": [None] * n_aggs, "distinct": None}
+                    rows_map[kt] = row
+                row["count"] += counts_l[i]
+                row["samples"] += samples_l[i]
+                for ai in range(n_aggs):
+                    ex, cnt, wv, mn_l, mx_l = agg_l[ai]
+                    if not ex[i]:
+                        continue
+                    cur = row["aggs"][ai]
+                    if cur is None:
+                        cur = {"count": 0, "wv": 0, "min": None,
+                               "max": None, "hist": None, "outliers": []}
+                        row["aggs"][ai] = cur
+                    cur["count"] += cnt[i]
+                    cur["wv"] += wv[i]
+                    if cnt[i] > 0:
+                        mn, mx = mn_l[i], mx_l[i]
+                        cur["min"] = (mn if cur["min"] is None
+                                      else min(cur["min"], mn))
+                        cur["max"] = (mx if cur["max"] is None
+                                      else max(cur["max"], mx))
+
     def merge_from(self, other: "_Accumulator") -> None:
         """Merge another accumulator's rows (cached group partials or a
         scoped sub-scan) into this one."""
+        self._materialize()
+        other._materialize()
         self.matched_count += other.matched_count
         self.cum_extra_count += other.cum_extra_count
         self.cum_extra_samples += other.cum_extra_samples
@@ -1479,6 +1544,7 @@ class _Accumulator:
         the same approximation the reference makes."""
         if not self.prune_cap or self.batches < 2:
             return
+        self._materialize()
         if self.num_group_rows() <= self.prune_cap:
             return
         by_group: dict[tuple, list] = {}
@@ -1675,6 +1741,27 @@ class _Accumulator:
                         d["outlier_pairs"] = (block[flags_col, :K],
                                               block[flags_col, K])
             aggdata.append(d)
+
+        # columnar fast lane: simple shapes park the active rows as
+        # numpy arrays; `finish` consumes them vectorized, skipping the
+        # per-row dict churn entirely (the host hot path for many-group
+        # rollups)
+        if (not p.distincts and not hist_ais and not pruned
+                and p.num_distinct <= 0 and not self.prune_cap
+                and not config.track_outliers):
+            sel = active
+            ak = keys[sel]
+            if K and len(sel):
+                m = ak[:, 0] != SENTINEL
+                if not m.all():
+                    sel = sel[m]
+                    ak = ak[m]
+            self.np_batches.append((
+                ak, counts[sel], samples[sel],
+                [(d["exists"][sel], d["count"][sel], d["wv"][sel],
+                  d["min"][sel], d["max"][sel]) for d in aggdata]))
+            self.batches += 1
+            return 0
 
         # bulk-convert the active rows to plain Python once: per-element
         # `int(np_scalar)` in the loop below costs ~200ns a pop, which at
@@ -1954,6 +2041,12 @@ class _Accumulator:
         qr.matched_count = self.matched_count
         qr.samples = self.sample_rows
 
+        if self.np_batches and not self.rows:
+            self._finish_fast(qr)
+            self._sort(qr)
+            return qr
+        self._materialize()
+
         time_mode = p.time_bucket > 0
         group_slice = slice(1, None) if time_mode else slice(None)
 
@@ -2004,6 +2097,131 @@ class _Accumulator:
 
         self._sort(qr)
         return qr
+
+    def _finish_fast(self, qr: QueryResults) -> None:
+        """Vectorized finish over the parked columnar batches (simple
+        shapes only — see the absorb fast gate).  Semantics identical to
+        the dict path: same display keys, same combine-on-collision for
+        -str-replace, same Cumulative math."""
+        p = self.params
+        bound = self.bound
+        batches, self.np_batches = self.np_batches, []
+        SENT = 2**62
+        if len(batches) == 1:
+            ak, counts, samples, aggs = batches[0]
+        else:
+            ak0 = np.concatenate([b[0] for b in batches])
+            counts0 = np.concatenate([b[1] for b in batches])
+            samples0 = np.concatenate([b[2] for b in batches])
+            ak, inv = np.unique(ak0, axis=0, return_inverse=True)
+            inv = inv.reshape(-1)
+            U = ak.shape[0]
+            counts = np.zeros(U, np.int64)
+            np.add.at(counts, inv, counts0)
+            samples = np.zeros(U, np.int64)
+            np.add.at(samples, inv, samples0)
+            aggs = []
+            for ai in range(len(batches[0][3])):
+                ex0 = np.concatenate(
+                    [np.asarray(b[3][ai][0], dtype=np.int64)
+                     for b in batches])
+                cnt0 = np.concatenate([b[3][ai][1] for b in batches])
+                wv0 = np.concatenate([b[3][ai][2] for b in batches])
+                mn0 = np.concatenate([b[3][ai][3] for b in batches])
+                mx0 = np.concatenate([b[3][ai][4] for b in batches])
+                ex = np.zeros(U, np.int64)
+                np.add.at(ex, inv, ex0)
+                cnt = np.zeros(U, np.int64)
+                np.add.at(cnt, inv, cnt0)
+                wv = np.zeros(U, np.int64)
+                np.add.at(wv, inv, wv0)
+                mn = np.full(U, SENT, np.int64)
+                np.minimum.at(mn, inv, np.where(cnt0 > 0, mn0, SENT))
+                mx = np.full(U, -SENT, np.int64)
+                np.maximum.at(mx, inv, np.where(cnt0 > 0, mx0, -SENT))
+                aggs.append((ex, cnt, wv, mn, mx))
+
+        time_mode = p.time_bucket > 0
+        gb = 1 if time_mode else 0
+        str_cols = [bound._strings(c)
+                    if bound.col_types[c] == STR_VAL else None
+                    for c in p.groups]
+        keys_l = ak.tolist()
+        counts_l = counts.tolist()
+        samples_l = samples.tolist()
+        aggs_l = [(np.asarray(ex).tolist(), cnt.tolist(), wv.tolist(),
+                   mn.tolist(), mx.tolist())
+                  for (ex, cnt, wv, mn, mx) in aggs]
+        infos = [(a.col, lay[0]) for a, lay in
+                 zip(p.aggs, bound.agg_layouts)]
+        flat: dict[str, Result] = {}
+        per_time: dict[int, dict[str, Result]] = {}
+        G = GROUP_DELIMITER
+        for i in range(len(keys_l)):
+            kt = keys_l[i]
+            gkt = tuple(kt[gb:])
+            if not p.groups:
+                gk = "total"
+            else:
+                parts = []
+                for ci, v in enumerate(gkt):
+                    if v == MISSING_I64:
+                        parts.append("")
+                    else:
+                        ss = str_cols[ci]
+                        if ss is None:
+                            parts.append(str(v))
+                        else:
+                            parts.append(ss[v] if 0 <= v < len(ss) else "")
+                    parts.append(G)
+                gk = "".join(parts)
+            res = Result()
+            res.key_tuple = gkt
+            res.group_key = gk
+            res.count = counts_l[i]
+            res.samples = samples_l[i]
+            for ai, (col, info) in enumerate(infos):
+                ex, cnt, wv, mn, mx = aggs_l[ai]
+                if not ex[i]:
+                    continue
+                c = cnt[i]
+                res.hists[col] = BasicHist.from_sums(
+                    info.min, info.max, c, wv[i],
+                    mn[i] if c > 0 else SENT,
+                    mx[i] if c > 0 else -SENT)
+            if time_mode:
+                bucket = per_time.setdefault(kt[0], {})
+                prev = bucket.get(gk)
+                if prev is None:
+                    bucket[gk] = res
+                else:
+                    prev.combine(res)
+                tot = flat.get(gk)
+                if tot is None:
+                    tot = Result()
+                    tot.group_key = gk
+                    tot.key_tuple = gkt
+                    flat[gk] = tot
+                tot.count += res.count
+                tot.samples += res.samples
+            else:
+                prev = flat.get(gk)
+                if prev is None:
+                    flat[gk] = res
+                else:
+                    prev.combine(res)
+
+        qr.results = flat
+        qr.time_results = per_time
+        cumulative = Result()
+        cumulative.group_key = "TOTAL"
+        if len(p.groups) > 1:
+            cumulative.group_key += GROUP_DELIMITER * (len(p.groups) - 1)
+        for res in flat.values():
+            cumulative.combine(res)
+        cumulative.count += self.cum_extra_count
+        cumulative.samples += self.cum_extra_samples
+        qr.cumulative = cumulative
 
     def _make_result(self, key_tuple: tuple, row: dict) -> Result:
         p = self.params
