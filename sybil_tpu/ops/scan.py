@@ -164,6 +164,11 @@ class ScanConfig:
     # mesh scans shuffle the table: rows are no longer slot-aligned, so
     # the compact (keyless) dense table download must stay off
     no_compact_table: bool = False
+    # virtual cache-group key: when group_cols contains "__cg__" and
+    # vg_span > 0, the kernel synthesizes that key as block_index //
+    # vg_span via iota — no host column upload (the cache path scans
+    # many 16-block groups per dispatch and splits results by it)
+    vg_span: int = 0
 
     @property
     def n_key_cols(self) -> int:
@@ -367,6 +372,11 @@ def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         keys.append(tb)
 
     for g in config.group_cols:
+        if g == "__cg__" and config.vg_span > 0 and g not in cols:
+            # synthesized cache-group index: block position // span
+            bi = jax.lax.broadcasted_iota(jnp.int64, (B, C), 0)
+            keys.append(flat(bi) // config.vg_span)
+            continue
         gvals, gvalid = cols[g]
         keys.append(jnp.where(flat(gvalid), flat(gvals), MISSING))
 

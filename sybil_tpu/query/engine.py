@@ -953,7 +953,44 @@ def _run_query_inner(table: Table, params: QueryParams,
         group_accs = {}
         if not acc.distinct_limit_hit():
             to_scan = [(k, live) for k, live in missed_live if live]
-            if to_scan:
+            # many groups per dispatch via a synthetic group-index key
+            # (one download round trip per ~B/16 groups); only when the
+            # augmented key space stays dense and the shapes are local
+            use_vg = False
+            if to_scan and mesh is None and not multihost \
+                    and not bound.config.time_col \
+                    and all(len(g) <= qcache.GROUP_SIZE
+                            for _, g in to_scan):
+                import dataclasses as _dc
+                ng_try = max(1, min(len(to_scan),
+                                    max(1, B // qcache.GROUP_SIZE)))
+                ngp = 1
+                while ngp < ng_try:
+                    ngp *= 2       # the scan pads group counts to pow2
+                probe = _dc.replace(
+                    bound.config,
+                    group_cols=("__cg__",) + bound.config.group_cols,
+                    key_bounds=((0, ngp),) + bound.config.key_bounds,
+                    sort_pack=(), window=0)
+                use_vg = probe.dense_slots > 0 and (
+                    not probe.hll or probe.dense_slots <= 1024)
+            if to_scan and use_vg:
+                # the uncacheable rest blocks ride the same dispatch as
+                # extra (unsaved) virtual groups of <= GROUP_SIZE each
+                vg_groups = list(to_scan)
+                GS = qcache.GROUP_SIZE
+                rest_keys = []
+                for j in range(0, len(rest), GS):
+                    rk = ("__REST__", j)
+                    rest_keys.append(rk)
+                    vg_groups.append((rk, rest[j: j + GS]))
+                group_accs = _scan_cache_vgroups(ctx, vg_groups, B)
+                for rk in rest_keys:
+                    ra = group_accs.pop(rk, None)
+                    if ra is not None:
+                        acc.merge_from(ra)
+                rest = []
+            elif to_scan:
                 # one group per batch: groups are GROUP_SIZE blocks, so
                 # a full-size device batch would pad 16 real blocks to
                 # device_batch shapes of dead compute
@@ -1040,6 +1077,98 @@ def _maybe_device_prune(bound: BoundQuery, params: QueryParams,
     cap = min(p.limit * 10, 1000)
     bound.config = _dc.replace(bound.config, prune_topk=cap,
                                prune_agg=pagg)
+
+
+def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int):
+    """Scan MANY 16-block cache groups in ONE device dispatch by
+    prepending a synthetic per-block group-index key ("__cg__", value =
+    block_position // GROUP_SIZE): the result table then carries
+    (cache-group, *group-keys) rows that the host splits into per-group
+    accumulators.  One download round trip per ~B/16 groups instead of
+    one per group — the last factor between cache-write cost and an
+    uncached scan.  Returns {key: acc} like _scan_dirs(groups=...)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from ..ops.residency import device_const
+    from . import cache as qcache
+
+    bound, timer, C = ctx.bound, ctx.timer, ctx.C
+    GS = qcache.GROUP_SIZE
+    ngrp_max = max(1, B // GS)
+    accs: dict = {}
+
+    for start in range(0, len(groups), ngrp_max):
+        chunk = groups[start: start + ngrp_max]
+        ng = len(chunk)
+        # pad the group count to a power of two: one kernel shape per
+        # size class instead of one per missed-group count (server-side
+        # compiles on the tunneled backend are tens of seconds each)
+        ngp = 1
+        while ngp < ng:
+            ngp *= 2
+        dirs = []
+        pad_pos = []
+        for _, gdirs in chunk:
+            gg = list(gdirs)[:GS]
+            while len(gg) < GS:      # partial (rest) group: pad + zero
+                pad_pos.append(len(dirs) + len(gg))
+                gg.append(gg[-1])
+            dirs += gg
+        real = len(dirs)
+        if ngp > ng:
+            dirs = dirs + [dirs[-1]] * ((ngp - ng) * GS)
+        base = bound.config
+        vcfg = _dc.replace(
+            base,
+            group_cols=("__cg__",) + base.group_cols,
+            key_bounds=((0, ngp),) + base.key_bounds,
+            sort_pack=(), window=0, vg_span=GS)
+        with timer.phase("load"):
+            loader = BatchLoader(bound, dirs, C,
+                                 {d: ctx.infos[d].num_records
+                                  for d in dirs if d in ctx.infos})
+            cols, nrec, set_aux = loader.load()
+            nrec[real:] = 0          # padding blocks contribute nothing
+            for pp in pad_pos:       # in-group padding of partial groups
+                nrec[pp] = 0
+            Bc = len(dirs)
+        for attempt in range(2):
+            with timer.phase("dispatch"):
+                from ..ops.scan import scan_packed_jit
+                packed, out = scan_packed_jit(
+                    vcfg, cols, device_const(nrec), ctx.jfv, ctx.jbits,
+                    ctx.jtb,
+                    {k: (device_const(r) if isinstance(r, np.ndarray)
+                         else r,
+                         device_const(v) if isinstance(v, np.ndarray)
+                         else v) for k, (r, v) in set_aux.items()})
+            tmp = _Accumulator(bound)
+            tmp.prune_cap = 0
+            with timer.phase("drain"):
+                spill = tmp.absorb_packed(packed, out, Bc * C, vcfg)
+            if spill == 0:
+                break
+            debug("vgroup scan spilled; retrying unpacked sorted")
+            vcfg = _dc.replace(vcfg, force_sorted=True)
+        # split the batch accumulator by the leading cache-group key
+        tmp._materialize()
+        split_rows: list[dict] = [dict() for _ in range(ng)]
+        split_matched = [0] * ng
+        for kt, row in tmp.rows.items():
+            j = kt[0]
+            if 0 <= j < ng:
+                split_rows[j][kt[1:]] = row
+                split_matched[j] += row["samples"]
+        for j, (k, _) in enumerate(chunk):
+            a = _Accumulator(bound)
+            a.prune_cap = 0
+            a.rows = split_rows[j]
+            a.matched_count = split_matched[j]
+            a.batches = 1
+            accs[k] = a
+    return accs
 
 
 class _ScanCtx:

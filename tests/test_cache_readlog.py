@@ -174,3 +174,57 @@ def test_query_cache_groups_survive_filter_constant_changes(tmp_path):
            {k: r.count for k, r in plain.results.items()}
     assert sum(r.count for r in qr2.results.values()) == \
            sum(r.count for r in plain.results.values())
+
+
+def test_cache_vgroup_batch_parity(tmp_path):
+    """Multi-group cache writes via the synthetic group-index key
+    (round 4, _scan_cache_vgroups): results, cached partials, and
+    subsequent hits must all be exact vs the uncached scan."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.query import cache as qcache
+    from sybil_tpu.query import engine as eng
+
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 128
+    old_qc = qcache.CHUNK_SIZE
+    qcache.CHUNK_SIZE = 128
+    try:
+        flags = Flags(dir=str(tmp_path / "db"), table="vg",
+                      skip_compact=True, device_batch=256)
+        t = Table("vg", flags)
+        t.ingest_records([flatten_record(
+            {"g": f"k{i % 9}", "v": i % 50, "time": i})
+            for i in range(128 * 40)])
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    assert len(t.list_block_dirs()) >= 32
+
+    params = QueryParams(groups=("g",), aggs=(AggDef("v", "avg"),))
+    base = run_query(t, params, flags)
+
+    called = {}
+    real = eng._scan_cache_vgroups
+
+    def spy(ctx, groups, B):
+        called["n"] = len(groups)
+        return real(ctx, groups, B)
+
+    eng._scan_cache_vgroups = spy
+    cflags = Flags(**{**vars(flags), "cache_queries": True})
+    try:
+        qcache.HITS = qcache.MISSES = 0
+        wrote = run_query(t, params, cflags)   # cold cache: writes
+        assert called.get("n", 0) >= 2, "vgroup path did not engage"
+        hit = run_query(t, params, cflags)     # warm cache: hits
+    finally:
+        eng._scan_cache_vgroups = real
+        qcache.CHUNK_SIZE = old_qc
+    assert qcache.HITS > 0
+
+    def snap(qr):
+        return {k: (r.count, r.samples, round(r.hists["v"].mean(), 9))
+                for k, r in qr.results.items()}
+    assert snap(wrote) == snap(base)
+    assert snap(hit) == snap(base)
+    assert wrote.matched_count == base.matched_count == 128 * 40
