@@ -1081,6 +1081,10 @@ def enum_radix(config: ScanConfig) -> int:
     scatter anywhere (large scatters lower to serial loops on TPU)."""
     if config.prune_topk <= 0 or config.dense_slots:
         return 0
+    if config.no_compact_table:
+        # mesh scans: the shuffle payload carries at most table_slots
+        # rows, which would silently truncate a [radix] enum table
+        return 0
     pack = config.sort_pack
     if not pack or config.distinct_cols or config.time_col:
         return 0

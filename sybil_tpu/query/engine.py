@@ -423,6 +423,16 @@ class BoundQuery:
             lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias),
             lane_row_bounds=tuple(row_bounds),
             lane_nrows=tuple(lane_nrows))
+        self._recheck_hll_cap()
+
+    def _recheck_hll_cap(self) -> None:
+        """Key bounds can WIDEN after bind (exact stats, read-log dict
+        growth); re-apply the device-HLL slot cap so the register array
+        never balloons past the HBM budget the bind-time gate set."""
+        if self.config.hll and not (0 < self.config.dense_slots <= 128):
+            import dataclasses as _dc
+            self.config = _dc.replace(self.config, hll=False,
+                                      hll_hash_idx=-1)
 
     def _hll_hash_array(self, dcol: str) -> np.ndarray:
         """Per-dict-id uint64 hashes of (display string + delimiter);
@@ -527,6 +537,7 @@ class BoundQuery:
             sort_pack = tuple(kb)
         self.config = _dc.replace(self.config, key_bounds=tuple(kb),
                                   sort_pack=sort_pack)
+        self._recheck_hll_cap()
 
     def _strings(self, col: str) -> list[str]:
         """Global dict strings with -str-replace applied (the reference
@@ -762,11 +773,6 @@ class BatchLoader:
             else:
                 cols[name] = (ent[0], ent[1])
 
-        if self.changed:
-            # zero out changed blocks so the kernel scans nothing from them
-            for bi, bdir in enumerate(self.block_dirs):
-                if bdir in self.changed:
-                    nrec[bi] = 0
         if not cols:
             # bare count(*) query: synthesize one lane so the kernel has a
             # shape to scan; row_in_range does the counting
@@ -823,6 +829,14 @@ class BatchLoader:
                 set_aux[name] = dev
             else:
                 set_aux[name] = (prow, pval)
+        if self.changed:
+            # zero out changed blocks so the kernel scans nothing from
+            # them — after EVERY staleness probe has run, including the
+            # set-batch cache hits above (a set-only query's sole
+            # _check_block sits in that loop)
+            for bi, bdir in enumerate(self.block_dirs):
+                if bdir in self.changed:
+                    nrec[bi] = 0
         return cols, nrec, set_aux
 
 
@@ -959,6 +973,7 @@ def _run_query_inner(table: Table, params: QueryParams,
             use_vg = False
             if to_scan and mesh is None and not multihost \
                     and not bound.config.time_col \
+                    and B >= qcache.GROUP_SIZE \
                     and all(len(g) <= qcache.GROUP_SIZE
                             for _, g in to_scan):
                 import dataclasses as _dc
@@ -1314,8 +1329,15 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
                 return False
             if groups is None:
                 return allow_prune and acc.distinct_limit_hit()
-            return (sum(a.num_group_rows() for a in accs.values())
-                    >= params.num_distinct)
+            # distinct groups over the UNION of per-group partials —
+            # summing per-accumulator counts would double-count keys
+            # shared between cache groups and stop the scan early
+            seen = set()
+            for a in accs.values():
+                a._materialize()
+                for kt in a.rows:
+                    seen.add(a._group_part(kt))
+            return len(seen) >= params.num_distinct
 
         expected = {d: infos[d].num_records for d in all_dirs
                     if d in infos}
@@ -1456,6 +1478,14 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
         return
     bound.refresh_str_filters()  # WAL-only strings got dict ids just now
     bound.refresh_key_bounds()
+    # WAL rows are NOT covered by the digested blocks' exact stats:
+    # strip every bound-derived kernel specialization (limb compression,
+    # value biasing, nrows-lane proofs, windowing, compact tables) so
+    # the pseudo-block kernel makes no assumption a fresh row can break
+    import dataclasses as _dc
+    wal_cfg = _dc.replace(bound.config, lane_limbs8=(), agg_vbias=(),
+                          lane_row_bounds=(), lane_nrows=(), window=0,
+                          no_compact_table=True)
     C = _pad_pow2(min(n, CHUNK_SIZE))
     nblocks = (n + C - 1) // C
     for b in range(nblocks):
@@ -1494,21 +1524,20 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
                                  jnp.ones((1, C), bool))
         nrec = jnp.asarray(np.array([hi - lo], dtype=np.int32))
         packed, out = scan_packed_jit(
-            bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
+            wal_cfg, cols, nrec, jnp.asarray(bound.filter_vals),
             tuple(jnp.asarray(x) for x in bound.bitsets),
             jnp.asarray(params.time_bucket or 1, dtype=jnp.int64), set_aux)
-        if acc.absorb_packed(packed, out, C) > 0:
+        if acc.absorb_packed(packed, out, C, wal_cfg) > 0:
             # WAL-only strings grew a dict past its bind-time bound:
             # redo this pseudo-block on the unpacked sorted strategy
-            import dataclasses as _dc
-            bound.config = _dc.replace(bound.config, force_sorted=True,
-                                       sort_pack=())
+            wal_cfg = _dc.replace(wal_cfg, force_sorted=True,
+                                  sort_pack=())
             packed, out = scan_packed_jit(
-                bound.config, cols, nrec, jnp.asarray(bound.filter_vals),
+                wal_cfg, cols, nrec, jnp.asarray(bound.filter_vals),
                 tuple(jnp.asarray(x) for x in bound.bitsets),
                 jnp.asarray(params.time_bucket or 1, dtype=jnp.int64),
                 set_aux)
-            acc.absorb_packed(packed, out, C)
+            acc.absorb_packed(packed, out, C, wal_cfg)
 
 
 class _Accumulator:

@@ -228,3 +228,48 @@ def test_cache_vgroup_batch_parity(tmp_path):
     assert snap(wrote) == snap(base)
     assert snap(hit) == snap(base)
     assert wrote.matched_count == base.matched_count == 128 * 40
+
+
+def test_read_log_values_outside_block_bounds(tmp_path):
+    """WAL rows can carry values far outside the digested blocks' exact
+    stats (which drive limb compression / value biasing / nrows-lane
+    proofs); the rowstore pseudo-block must be scanned with those
+    specializations stripped or sums silently corrupt (round-4 review
+    fix)."""
+    flags = Flags(dir=str(tmp_path / "db"), table="wb", skip_compact=True)
+    t = Table("wb", flags)
+    # digested rows: v in [0, 9] and fully populated
+    t.ingest_records([flatten_record({"g": f"k{i % 3}", "v": i % 10,
+                                      "time": i}) for i in range(300)])
+    digest_records(t)
+    # WAL rows: values above the blocks' EXACT max (but inside the
+    # reference's Info.Max*10 discard window, so they must be counted),
+    # plus a row MISSING the agg column (breaks the fully-populated
+    # exists/kw proof)
+    extra = [flatten_record({"g": "k0", "v": 89, "time": 1000}),
+             flatten_record({"g": "k1", "v": 57, "time": 1001}),
+             flatten_record({"g": "k2", "time": 1002})]
+    t.ingest_records(extra)
+
+    rl = Flags(**{**vars(flags), "read_log": True})
+    params = QueryParams(groups=("g",), aggs=(AggDef("v", "avg"),))
+    qr = run_query(t, params, rl)
+    got = {r.group_key.rstrip("\t"): (r.count, r.hists["v"].mean())
+           for r in qr.results.values()}
+    # exact expectations
+    import collections
+    sums = collections.defaultdict(lambda: [0, 0])
+    for i in range(300):
+        k = f"k{i % 3}"
+        sums[k][0] += i % 10
+        sums[k][1] += 1
+    sums["k0"][0] += 89
+    sums["k0"][1] += 1
+    sums["k1"][0] += 57
+    sums["k1"][1] += 1
+    # k2's extra row has no v: count stays, avg denominator unchanged
+    assert got["k0"][0] == 101 and got["k1"][0] == 101
+    assert got["k2"][0] == 101
+    for k in ("k0", "k1", "k2"):
+        want = sums[k][0] / sums[k][1]
+        assert abs(got[k][1] - want) < 1e-9, (k, got[k][1], want)
