@@ -81,14 +81,19 @@ def build_dataset(n_rows: int):
 
 def probe_link() -> float:
     """Measured host->device bandwidth right now (the tunneled link
-    swings 1-70 MB/s; warm-up numbers are meaningless without this)."""
+    swings 1-70 MB/s; warm-up numbers are meaningless without this).
+    block_until_ready can report early on the tunneled backend, so the
+    probe forces a REAL round trip by fetching a slice of the uploaded
+    buffer back."""
     import jax
     import numpy as np
-    x = np.zeros(8 << 20, dtype=np.uint8)
-    jax.device_put(x[: 1 << 16]).block_until_ready()  # wake the link
+    x = np.ones(8 << 20, dtype=np.uint8)
+    np.asarray(jax.device_put(x[: 1 << 16])[:8])      # wake the link
     t0 = time.time()
-    jax.device_put(x).block_until_ready()
-    return 8.0 / max(time.time() - t0, 1e-9)
+    got = np.asarray(jax.device_put(x)[:: 1 << 20])   # real sync
+    dt = time.time() - t0
+    assert int(got.sum()) == len(got)
+    return 8.0 / max(dt, 1e-9)
 
 
 def bench_table(n_rows: int, debug_timing: bool = False):
