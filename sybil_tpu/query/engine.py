@@ -622,8 +622,13 @@ class BatchLoader:
         if ent is not None:
             self._check_block(bdir, ent[2])
             return ent
-        data = blockio.load_block_columns(bdir, self.bound.table.schema,
-                                          [name]).get(name)
+        try:
+            data = blockio.load_block_columns(
+                bdir, self.bound.table.schema, [name]).get(name)
+        except Exception as e:  # noqa: BLE001 - torn/corrupt block file
+            warn("corrupt column file; skipping block", bdir, e)
+            self.changed.add(bdir)
+            data = None
         values = np.zeros(C, dtype=np.int64)
         valid = np.zeros(C, dtype=bool)
         ncol = -1
@@ -647,8 +652,17 @@ class BatchLoader:
         Returns (values [B, C], valid [B, C], ncols) or None to fall
         back to the host decoder (exotic shapes, oversized blocks)."""
         from ..ops.decode import decode_column_batch
-        containers = [blockio.open_column(bdir, typ, name)
-                      for bdir in self.block_dirs]
+        containers = []
+        for bdir in self.block_dirs:
+            try:
+                containers.append(blockio.open_column(bdir, typ, name))
+            except Exception as e:  # noqa: BLE001 - torn/corrupt file:
+                # skip the block (the reference demotes half-written
+                # blocks and tolerates concurrent rewrites; a torn file
+                # must never kill the whole query)
+                warn("corrupt column file; skipping block", bdir, e)
+                self.changed.add(bdir)
+                containers.append(None)
         try:
             return decode_column_batch(containers, self.C)
         except ValueError as e:
@@ -720,8 +734,14 @@ class BatchLoader:
                 ck = ("setcsr",) + bkeys[bi]
                 cd = CACHE.get(ck)
                 if cd is None:
-                    raw = blockio.load_block_columns(
-                        bdir, schema, [name]).get(name)
+                    try:
+                        raw = blockio.load_block_columns(
+                            bdir, schema, [name]).get(name)
+                    except Exception as e:  # noqa: BLE001 - torn file
+                        warn("corrupt set column; skipping block",
+                             bdir, e)
+                        self.changed.add(bdir)
+                        continue
                     ncol = len(raw.offsets) - 1
                     rows = np.repeat(np.arange(ncol),
                                      np.diff(raw.offsets))

@@ -221,3 +221,36 @@ def test_bucket_v1_layout_still_decodes(tmp_path):
     dv, dm = np.asarray(dv)[0][:n], np.asarray(dm)[0][:n]
     np.testing.assert_array_equal(dm, valid)
     np.testing.assert_array_equal(dv[valid], values[valid])
+
+
+def test_torn_column_file_skips_block(tmp_path):
+    """A truncated/corrupt column file must skip its block with a
+    warning, never kill the query (reference demotes half-written
+    blocks and tolerates concurrent rewrites; docs/TESTPLAN.md fault
+    -injection gap closed in round 4)."""
+    import glob
+
+    import sybil_tpu.digest as dg
+    from sybil_tpu.query.engine import run_query
+    from sybil_tpu.query.spec import AggDef, QueryParams
+
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 256
+    try:
+        flags = Flags(dir=str(tmp_path), table="torn", skip_compact=True)
+        t = Table("torn", flags)
+        t.ingest_records([flatten_record(
+            {"g": f"k{i % 3}", "v": i % 50, "time": i})
+            for i in range(1024)])
+        digest_records(t)
+    finally:
+        dg.CHUNK_SIZE = old
+    blocks_dirs = t.list_block_dirs()
+    assert len(blocks_dirs) == 4
+    vf = glob.glob(os.path.join(blocks_dirs[1], "*int_v*"))
+    with open(vf[0], "r+b") as f:
+        f.truncate(10)
+
+    qr = run_query(t, QueryParams(groups=("g",),
+                                  aggs=(AggDef("v", "avg"),)), flags)
+    assert sum(r.count for r in qr.results.values()) == 1024 - 256
