@@ -618,3 +618,27 @@ def test_enum_strategy_fallback_no_bounds(tmp_table, monkeypatch):
 
     monkeypatch.setattr(eng.BoundQuery, "apply_exact_bounds", strip)
     test_enum_strategy_high_card_prune(tmp_table)
+
+
+def test_samples_with_set_filter(tmp_table):
+    """-samples honors set filters (the reference's own TESTPLAN tracked
+    'Work with samples' as an open gap; covered here): every returned
+    sample row must satisfy the in/nin predicate."""
+    t = Table(tmp_table.table, tmp_table)
+    t.ingest_records([flatten_record(
+        {"uid": i, "groups": [f"g{i % 3}", "all"], "v": i})
+        for i in range(500)])
+    digest_records(t)
+
+    qr = run_query(t, QueryParams(
+        samples=True, limit=5,
+        filters=(FilterDef("groups", "in", "g2", "set"),)), tmp_table)
+    assert qr.samples
+    assert all("g2" in s["groups"] for s in qr.samples)
+    assert all(s["uid"] % 3 == 2 for s in qr.samples)
+
+    qr = run_query(t, QueryParams(
+        samples=True, limit=5,
+        filters=(FilterDef("groups", "nin", "g2", "set"),)), tmp_table)
+    assert qr.samples
+    assert all("g2" not in s["groups"] for s in qr.samples)
