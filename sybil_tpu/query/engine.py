@@ -2335,24 +2335,30 @@ class _Accumulator:
         flat: dict[str, Result] = {}
         per_time: dict[int, dict[str, Result]] = {}
         G = GROUP_DELIMITER
+        gk_memo: dict[tuple, str] = {}
         for i in range(len(keys_l)):
             kt = keys_l[i]
             gkt = tuple(kt[gb:])
             if not p.groups:
                 gk = "total"
             else:
-                parts = []
-                for ci, v in enumerate(gkt):
-                    if v == MISSING_I64:
-                        parts.append("")
-                    else:
-                        ss = str_cols[ci]
-                        if ss is None:
-                            parts.append(str(v))
+                gk = gk_memo.get(gkt)
+                if gk is None:
+                    # rollups repeat the same few group tuples across
+                    # thousands of time buckets: build each string once
+                    parts = []
+                    for ci, v in enumerate(gkt):
+                        if v == MISSING_I64:
+                            parts.append("")
                         else:
-                            parts.append(ss[v] if 0 <= v < len(ss) else "")
-                    parts.append(G)
-                gk = "".join(parts)
+                            ss = str_cols[ci]
+                            if ss is None:
+                                parts.append(str(v))
+                            else:
+                                parts.append(ss[v]
+                                             if 0 <= v < len(ss) else "")
+                        parts.append(G)
+                    gk = gk_memo[gkt] = "".join(parts)
             res = Result()
             res.key_tuple = gkt
             res.group_key = gk
