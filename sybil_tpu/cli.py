@@ -389,6 +389,8 @@ def cmd_version(argv):
         "features": {
             "tdigest": True, "loghist": True, "distinct": True,
             "time-rollup": True, "query-cache": True, "distributed": True,
+            "device-hll": True, "enum-topk": True,
+            "windowed-rollup": True,
         },
     }
     if args.json:
