@@ -1048,8 +1048,11 @@ def _run_query_inner(table: Table, params: QueryParams,
             acc.merge_from(sub)
             acc.maybe_prune()
         if rest and not acc.distinct_limit_hit():
-            sub = _scan_dirs(ctx, rest, min(B, len(rest)),
-                             allow_prune=False)
+            Br = min(B, len(rest))
+            if flags.data_shards > 1:
+                # batch shapes must stay divisible by the mesh axis
+                Br = -(-Br // flags.data_shards) * flags.data_shards
+            sub = _scan_dirs(ctx, rest, Br, allow_prune=False)
             acc.merge_from(sub)
             acc.maybe_prune()
     else:

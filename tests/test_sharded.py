@@ -186,3 +186,48 @@ def test_hist_at_10k_groups_matches_oracle(tmp_path):
     sharded_flags = Flags(**{**vars(flags), "data_shards": 8})
     sharded = run_query(t, params, sharded_flags)
     assert_same(single, sharded, ["v"])
+
+
+def test_sharded_cache_mode_parity(tmp_path):
+    """cache_queries under a device mesh: the vgroup single-dispatch path
+    is gated off (mesh rows aren't slot-aligned), the per-group pipeline
+    must still write correct cached partials, and a second run must hit
+    them with identical results."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.digest import digest_records
+    from sybil_tpu.ingest import flatten_record
+    from sybil_tpu.query import cache as qcache
+
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 256
+    old_qc = qcache.CHUNK_SIZE
+    qcache.CHUNK_SIZE = 256
+    try:
+        flags = Flags(dir=str(tmp_path), table="shc", skip_compact=True,
+                      device_batch=64)
+        t = Table("shc", flags)
+        t.ingest_records([flatten_record(
+            {"host": f"h{i % 5}", "ping": i % 90, "time": i})
+            for i in range(256 * 20)])
+        digest_records(t)
+        params = QueryParams(groups=("host",),
+                             aggs=(AggDef("ping", "avg"),))
+        base = run_query(t, params, flags)
+
+        cflags = Flags(**{**vars(flags), "data_shards": 8,
+                          "cache_queries": True})
+        qcache.HITS = qcache.MISSES = 0
+        wrote = run_query(t, params, cflags)
+        assert qcache.MISSES > 0      # groups formed and were scanned
+        hit = run_query(t, params, cflags)
+        assert qcache.HITS > 0
+    finally:
+        dg.CHUNK_SIZE = old
+        qcache.CHUNK_SIZE = old_qc
+
+    for qr in (wrote, hit):
+        assert set(qr.results) == set(base.results)
+        for k, r in base.results.items():
+            assert qr.results[k].count == r.count, k
+            assert abs(qr.results[k].hists["ping"].mean()
+                       - r.hists["ping"].mean()) < 1e-9, k
