@@ -115,3 +115,22 @@ def test_fuzz_parity_sweep(fuzz_table):
             f"trial {trial} diverged for {params}: "
             f"{set(es) ^ set(os_) or 'value mismatch'}")
         assert e.matched_count == o.matched_count, (trial, params)
+
+
+def test_fuzz_parity_sharded(fuzz_table):
+    """Same sweep through the 8-device mesh (shard_map scan + hash
+    shuffle): results must match the single-device engine exactly."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    t, flags = fuzz_table
+    sflags = Flags(**{**vars(flags), "data_shards": 8, "device_batch": 8})
+    rng = random.Random(11)
+    for trial in range(8):
+        params = _random_params(rng)
+        single = run_query(t, params, flags)
+        sharded = run_query(t, params, sflags)
+        tm = params.time_bucket > 0
+        assert _snap(single, tm) == _snap(sharded, tm), (trial, params)
+        assert single.matched_count == sharded.matched_count, (trial,
+                                                               params)
