@@ -17,7 +17,7 @@ all: native
 # Build the C++ WAL codec ahead of time (it also builds lazily on first
 # digest; this target just surfaces compile errors early).
 native:
-	$(CPUENV) $(PY) -c "from sybil_tpu.native import walcodec; walcodec.ensure_built(); print('native ok')"
+	$(CPUENV) $(PY) -c "from sybil_tpu import native; assert native.available(), 'C++ walcodec failed to build'; print('native ok')"
 
 # ---- fake data (Makefile:27-33) -------------------------------------
 fake-data: fake-uptime fake-people
