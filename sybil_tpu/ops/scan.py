@@ -58,6 +58,9 @@ MISSING = -1  # two's-complement of the reference's MaxUint64 MISSING_VALUE
 # slot, padded to a lane multiple); bounded by download size (8 KB/lane/
 # 1k slots) and one-hot matmul cost (R x G x L*16 int8 MACs)
 DENSE_SLOT_CAP = 8192
+# with a banded window the matmul cost no longer scales with slots;
+# the [slots, T] int64 accumulator (+ compact download) is the bound
+DENSE_WINDOW_SLOT_CAP = 65536
 _LANE = 128                     # MXU/VPU lane width
 NIBBLES = 16                    # 16 x 4-bit limbs = one exact int64
 
@@ -175,27 +178,49 @@ class ScanConfig:
         return max(len(self.group_cols) + (1 if self.time_col else 0), 1)
 
     @property
+    def vg_first(self) -> bool:
+        """Cache-group scans under a time rollup emit the synthesized
+        __cg__ key MOST significant (before the time key): each block
+        has one cg value, so a chunk's mixed-radix gids stay one narrow
+        contiguous band and the windowed sweep still applies.  Key
+        order (and key_bounds alignment) becomes [cg, time?, *groups]."""
+        return (self.vg_span > 0 and bool(self.time_col)
+                and "__cg__" in self.group_cols)
+
+    @property
+    def time_key_pos(self) -> int:
+        """Index of the time key in the emitted key order; -1 if none."""
+        if not self.time_col:
+            return -1
+        return 1 if self.vg_first else 0
+
+    @property
     def n_all_keys(self) -> int:
         return self.n_key_cols + len(self.distinct_cols)
 
     @property
     def dense_slots(self) -> int:
         """Mixed-radix slot count (+1 per key for MISSING, +1 dead slot),
-        lane-padded; 0 if any key is unbounded or the product too big."""
+        lane-padded; 0 if any key is unbounded or the product too big.
+        The banded window sweep decouples the one-hot matmul cost from
+        the slot count, so a windowed rollup (and the vgrouped cache
+        scans stacked on top of one) may use a much larger table — the
+        remaining bound is the [slots, T] accumulator and the download."""
         if self.force_sorted or (self.distinct_cols and not self.hll):
             return 0
         nk = len(self.group_cols) + (1 if self.time_col else 0)
         if len(self.key_bounds) != nk:
             return 0
+        cap = DENSE_WINDOW_SLOT_CAP if self.window > 0 else DENSE_SLOT_CAP
         g = 1
         for (_, card) in self.key_bounds:
             if card <= 0:
                 return 0
             g *= card + 1           # digit 0 reserved for MISSING
-            if g > DENSE_SLOT_CAP:
+            if g > cap:
                 return 0
         slots = _round_up(g + 1, _LANE)   # +1 dead slot for unmatched rows
-        if slots > DENSE_SLOT_CAP or g > self.max_groups:
+        if slots > cap or g > self.max_groups:
             return 0
         return slots
 
@@ -365,6 +390,14 @@ def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     # time rollup: rows without the time column are skipped entirely
     # (aggregate.go:146-153)
     keys = []
+
+    def cg_key():
+        # synthesized cache-group index: block position // span
+        bi = jax.lax.broadcasted_iota(jnp.int64, (B, C), 0)
+        return flat(bi) // config.vg_span
+
+    if config.vg_first:
+        keys.append(cg_key())
     if config.time_col:
         tvals, tvalid = cols[config.time_col]
         matched = matched & flat(tvalid)
@@ -373,9 +406,8 @@ def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
 
     for g in config.group_cols:
         if g == "__cg__" and config.vg_span > 0 and g not in cols:
-            # synthesized cache-group index: block position // span
-            bi = jax.lax.broadcasted_iota(jnp.int64, (B, C), 0)
-            keys.append(flat(bi) // config.vg_span)
+            if not config.vg_first:
+                keys.append(cg_key())
             continue
         gvals, gvalid = cols[g]
         keys.append(jnp.where(flat(gvalid), flat(gvals), MISSING))
@@ -527,13 +559,13 @@ def _dense_gid(config: ScanConfig, keys, matched, time_bucket):
     R = keys[0].shape[0]
     gid = jnp.zeros((R,), jnp.int64)
     spilled = jnp.zeros((R,), bool)
-    has_time = bool(config.time_col)
+    tpos = config.time_key_pos
     if not config.key_bounds:      # no group cols: one global group
         gid = jnp.where(matched, 0, slots - 1).astype(jnp.int32)
         return gid, jnp.zeros((), jnp.int64)
     for i, k in enumerate(keys):
         mn, card = config.key_bounds[i]
-        if has_time and i == 0:
+        if i == tpos:
             # the time key lane is trunc_div(t,tb)*tb; bound is on the
             # quotient (matched rows always have time populated)
             q = _trunc_div(k, time_bucket)
@@ -554,12 +586,12 @@ def _dense_decode_keys(config: ScanConfig, time_bucket):
     slots = config.dense_slots
     sid = jnp.arange(slots, dtype=jnp.int64)
     cols = []
-    has_time = bool(config.time_col)
+    tpos = config.time_key_pos
     for i in reversed(range(len(config.key_bounds))):
         mn, card = config.key_bounds[i]
         digit = sid % (card + 1)
         sid = sid // (card + 1)
-        if has_time and i == 0:
+        if i == tpos:
             val = (digit - 1 + mn) * time_bucket
         else:
             val = jnp.where(digit == 0, MISSING, digit - 1 + mn)
@@ -580,13 +612,17 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
     time-major big-slot rollups.  Digestion sorts rows by time, so one
     chunk (= one block when chunk == C) spans only a narrow band of the
     mixed-radix gid space; the one-hot is built against a [window, ch]
-    band anchored at the chunk's min matched gid and accumulated into
-    the full [slots, T] table with a dynamic-slice read-modify-write —
-    turning the [slots, ch] one-hot traffic (the whole cost of a
-    7k-slot rollup) into [window, ch].  A matched row outside its
-    chunk's window raises the returned spill count; the engine retries
-    on the sorted strategy (the window is sized from exact per-block
-    bounds, so this only fires on concurrent block republication).
+    BANDS swept across the chunk's actual matched-gid span (an inner
+    while_loop from min to max gid in window steps) and accumulated
+    into the full [slots, T] table with dynamic-slice read-modify-
+    writes — turning the [slots, ch] one-hot traffic (the whole cost
+    of a 7k-slot rollup) into [window, ch] per band, with the band
+    count proportional to the span the chunk REALLY covers.  A
+    time-local block does one band; a wide straggler (a partial-block
+    top-up spanning the whole time range) sweeps as many bands as it
+    needs — so there is no window spill path and no separate
+    wide-block engine pass (rounds 3-4 split wide blocks into a second
+    dispatch on the plain kernel; ref aggregate.go:146-183).
 
     The dot runs bf16 x bf16 -> f32: that is the TPU MXU's native mode
     (int8 dots lower to slow vector loops).  It stays EXACT because
@@ -647,55 +683,69 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
         matched_b = jax.lax.optimization_barrier(matched)
 
         def wbody(c, state):
-            acc, mn, mx, spill = state
+            acc, mn, mx = state
             start = c * ch
             gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
             ms = jax.lax.dynamic_slice(matched_b, (start,), (ch,))
             sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, T))
-            lo = jnp.min(jnp.where(ms, gs, slots - 1))
-            lo = jnp.clip(lo, 0, max(slots - Wb, 0))
-            rel = gs - lo
-            spill = spill + jnp.sum(
-                (ms & ((rel < 0) | (rel >= Wb))).astype(jnp.int64))
-            rel = jnp.clip(rel, 0, Wb - 1)
-            hit = iot_w == rel[None, :]                     # [Wb, ch]
-            d = jax.lax.dot_general(
-                hit.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            z = jnp.asarray(0, lo.dtype)
-            band = jax.lax.dynamic_slice(acc, (lo, z), (Wb, T))
-            acc = jax.lax.dynamic_update_slice(
-                acc, band + d.astype(jnp.int64), (lo, z))
+            # the chunk's REAL matched-gid span decides how many bands
+            # to sweep; a chunk with no matched rows sweeps zero
+            lo_c = jnp.min(jnp.where(ms, gs, jnp.int32(2**30)))
+            hi_c = jnp.max(jnp.where(ms, gs, jnp.int32(-1)))
+            nbands = jnp.maximum((hi_c - lo_c + Wb) // Wb, 0)
             if A:
                 vs = jax.lax.dynamic_slice(
                     vmat, (start, 0), (ch, A)).astype(mdt)
                 ks = jax.lax.dynamic_slice(kmat, (start, 0), (ch, A))
-                bmn = jax.lax.dynamic_slice(mn, (lo, z), (Wb, A))
-                bmx = jax.lax.dynamic_slice(mx, (lo, z), (Wb, A))
-                for a in range(A):
-                    h = hit & ks[:, a][None, :]
-                    bmn = bmn.at[:, a].min(jnp.min(
-                        jnp.where(h, vs[:, a][None, :], BIG), axis=1))
-                    bmx = bmx.at[:, a].max(jnp.max(
-                        jnp.where(h, vs[:, a][None, :], -BIG), axis=1))
-                mn = jax.lax.dynamic_update_slice(mn, bmn, (lo, z))
-                mx = jax.lax.dynamic_update_slice(mx, bmx, (lo, z))
-            return acc, mn, mx, spill
 
-        acc, mn, mx, wspill = jax.lax.fori_loop(
+            def bband(st2):
+                b, acc, mn, mx = st2
+                anchor0 = lo_c + b * Wb
+                # clip keeps the RMW slice in bounds; the hit mask uses
+                # the UNclipped anchor so overlapping clipped bands
+                # never double-count a row
+                anchor = jnp.clip(anchor0, 0, max(slots - Wb, 0))
+                rel = gs - anchor
+                hitm = ms & (gs >= anchor0) & (gs < anchor0 + Wb)
+                hit = (iot_w == rel[None, :]) & hitm[None, :]  # [Wb, ch]
+                d = jax.lax.dot_general(
+                    hit.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                z = jnp.asarray(0, anchor.dtype)
+                band = jax.lax.dynamic_slice(acc, (anchor, z), (Wb, T))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, band + d.astype(jnp.int64), (anchor, z))
+                if A:
+                    bmn = jax.lax.dynamic_slice(mn, (anchor, z), (Wb, A))
+                    bmx = jax.lax.dynamic_slice(mx, (anchor, z), (Wb, A))
+                    for a in range(A):
+                        h = hit & ks[:, a][None, :]
+                        bmn = bmn.at[:, a].min(jnp.min(
+                            jnp.where(h, vs[:, a][None, :], BIG), axis=1))
+                        bmx = bmx.at[:, a].max(jnp.max(
+                            jnp.where(h, vs[:, a][None, :], -BIG), axis=1))
+                    mn = jax.lax.dynamic_update_slice(mn, bmn, (anchor, z))
+                    mx = jax.lax.dynamic_update_slice(mx, bmx, (anchor, z))
+                return b + 1, acc, mn, mx
+
+            _, acc, mn, mx = jax.lax.while_loop(
+                lambda st2: st2[0] < nbands, bband,
+                (jnp.int32(0), acc, mn, mx))
+            return acc, mn, mx
+
+        acc, mn, mx = jax.lax.fori_loop(
             0, nchunk, wbody,
             (jnp.zeros((slots, T), jnp.int64),
              jnp.full((slots, max(A, 1)), BIG, mdt),
-             jnp.full((slots, max(A, 1)), -BIG, mdt),
-             jnp.zeros((), jnp.int64)))
+             jnp.full((slots, max(A, 1)), -BIG, mdt)))
         sums = _recombine8_ragged(acc, limbs8)   # [slots, L]
         if A and all_f32:
             mn = jnp.where(mn >= BIG, jnp.float32(2.0**62),
                            mn).astype(jnp.int64)
             mx = jnp.where(mx <= -BIG, -jnp.float32(2.0**62),
                            mx).astype(jnp.int64)
-        return sums, mn, mx, wspill
+        return sums, mn, mx, jnp.zeros((), jnp.int64)
 
     def body(c, state):
         acc, mn, mx = state
@@ -1063,8 +1113,8 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     return out
 
 
-# enumerated strategy: largest packed-key radix the device will
-# enumerate (bounds the searchsorted query set and the [radix, L] table)
+# enumerated strategy: largest packed-key radix eligible (bounds the
+# mixed-radix pack; the readout itself is radix-independent row-space)
 ENUM_RADIX_CAP = 1 << 21
 
 
@@ -1075,10 +1125,15 @@ def enum_radix(config: ScanConfig) -> int:
     whose keys are all exactly bounded (sort_pack) with a modest radix
     product and no hist/distinct/outlier/sample lanes — the
     high-cardinality top-k shape (BASELINE config 5).  There the full
-    multi-key sort + segment scatter is replaced by ONE narrow sort +
-    per-lane cumsum + a searchsorted over every possible key: segment
-    sums become cumsum differences at group boundaries, with no
-    scatter anywhere (large scatters lower to serial loops on TPU)."""
+    multi-key sort + segment scatter is replaced by ONE narrow sort
+    with bit-packed sum carriers + per-carrier cumsum + a row-space
+    segment readout and a device top_k: every group's sums are
+    available AT its last sorted row (cumsum minus the propagated
+    segment-start cumsum), so the top-k winners are selected directly
+    in row space — no scatter anywhere (large scatters lower to serial
+    loops on TPU), no [radix]-sized table, and no per-key counts
+    histogram (the round-4 form spent ~11ms on a factored one-hot
+    counts matmul whose only product was the key->row-range map)."""
     if config.prune_topk <= 0 or config.dense_slots:
         return 0
     if config.no_compact_table:
@@ -1102,54 +1157,62 @@ def enum_radix(config: ScanConfig) -> int:
     return radix
 
 
-def _enum_counts(packed, radix, R):
-    """Row counts per packed key value in [0, radix) via a chunked
-    factored one-hot matmul (hi x lo decomposition of the key).  Exact:
-    one-hot entries are 0/1 in bf16 and per-chunk partial sums are
-    bounded by the chunk size < 2^24.  Replaces a binary-search
-    searchsorted that cost ~30ms at 4M rows (23 gather rounds)."""
-    Wf = 512
-    Shi = -(-(radix + 1) // Wf)      # bin `radix` holds the sentinel
-    ch = 1 << (min(R, 1 << 16).bit_length() - 1)
-    nchunk = -(-R // ch)
-    iot = jnp.arange(Shi, dtype=jnp.int32)[:, None]
-    lot = jnp.arange(Wf, dtype=jnp.int32)[None, :]
-    rix = jnp.arange(ch, dtype=jnp.int32)
-    pk = jax.lax.optimization_barrier(packed.astype(jnp.int32))
-
-    def body(c, acc):
-        start = jnp.minimum(c * ch, R - ch)
-        gs = jax.lax.dynamic_slice(pk, (start,), (ch,))
-        fresh = (start + rix) >= c * ch
-        hi_ = gs // Wf
-        lo_ = gs % Wf
-        oh = ((iot == hi_[None, :]) & fresh[None, :]).astype(jnp.bfloat16)
-        rl = (lo_[:, None] == lot).astype(jnp.bfloat16)
-        d = jax.lax.dot_general(oh, rl, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return acc + d.astype(jnp.int32)
-
-    acc = jax.lax.fori_loop(0, nchunk, body,
-                            jnp.zeros((Shi, Wf), jnp.int32))
-    return acc.reshape(-1)[:radix]               # int32 rows per key
+def _enum_carry_plan(config: ScanConfig, L: int, R: int):
+    """Pack eligible sum lanes into disjoint int64 (or int32) bit
+    fields carried through the sort.  Returns (plan, skip) where plan
+    is a tuple of lane groups [(lane, offset, bits), ...] or None when
+    any needed lane is unbounded, and skip is the set of lanes proven
+    equal to the per-group matched-row count (derived from the segment
+    row range for free)."""
+    rb = (config.lane_row_bounds
+          if len(config.lane_row_bounds) == L else None)
+    skip = {1} | ({0} if not config.weight_col else set())
+    if len(config.lane_nrows) == L:
+        skip |= {i for i, eq in enumerate(config.lane_nrows) if eq}
+    if rb is None:
+        return None, skip
+    plan, cur, used = [], [], 0
+    for i in range(L):
+        if i in skip:
+            continue
+        b = rb[i]
+        bits = (b * R).bit_length() + 1 if b > 0 else 64
+        if bits > 63:
+            return None, skip
+        if used + bits > 63:
+            plan.append(tuple(cur))
+            cur, used = [], 0
+        cur.append((i, used, bits))
+        used += bits
+    if cur:
+        plan.append(tuple(cur))
+    return tuple(plan), skip
 
 
 def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
                time_bucket, set_aux):
-    """Enumerated high-cardinality group-by (see enum_radix).
+    """Enumerated high-cardinality top-k group-by (see enum_radix).
 
-    Per-key row counts come from a factored one-hot matmul
-    (_enum_counts); their exclusive cumsum gives every group's row range
-    [lo, hi) in the key-sorted order.  Sum lanes are bit-packed into
-    int64 CARRIERS riding through the sort as extra operands (no row
-    gather), one cumsum per carrier, and per-group sums are cumsum
-    differences at the range ends.  Output is a [radix] group table in
-    key order; pack_outputs' device prune (prune_topk) ships only the
-    top rows."""
+    ONE narrow sort of the mixed-radix packed key with bit-packed sum
+    CARRIERS riding along as extra operands (no row gather); then a
+    pure row-space readout: each group's sums are its carrier cumsum
+    at the segment's last row minus the segment-start cumsum
+    (propagated forward with a cummax — carrier lanes are nonneg so
+    the cumsum is monotone), its row count is `row - segment_start +
+    1`, and the per-group prune score is formed AT the segment-end
+    rows so one device top_k over [R] selects the winners directly.
+    Ships exactly the top rows: no [radix] table, no counts histogram,
+    no scatter (large scatters lower to serial loops on TPU).
+
+    Sum lanes are built straight in the carrier dtype (int32 when the
+    packed fields fit 31 bits) — the round-4 form staged all lanes as
+    an int64 [R, L] stack first, ~11ms of traffic at 4M rows."""
     B, C, R, flat, matched, keys, _, weight = _front_end(
         config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
     pack = config.sort_pack
     radix = enum_radix(config)
+    A = len(config.aggs)
+    L = 2 + 3 * A
 
     dtype = jnp.int32 if radix + 1 < 2**31 - 1 else jnp.int64
     packed = jnp.zeros((R,), dtype)
@@ -1161,110 +1224,140 @@ def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     pack_spill = jnp.sum((matched & bad).astype(jnp.int64))
     packed = jnp.where(matched & ~bad, packed, jnp.asarray(radix, dtype))
 
-    lanes64, _ = _agg_row_data(config, cols, flat, matched, weight)
-    L = lanes64.shape[1]
+    carry_plan, _skip = _enum_carry_plan(config, L, R)
+    vbias = config.agg_vbias or (0,) * A
 
-    # carrier plan: lanes whose cumulative sums provably fit disjoint
-    # int64 bit fields (exact per-row bounds from bind time); the
-    # samples lane — and the count lane without a weight column — are
-    # plain row counts and come from [lo, hi) for free
-    rb = (config.lane_row_bounds
-          if len(config.lane_row_bounds) == L else None)
-    skip = {1} | ({0} if not config.weight_col else set())
-    if len(config.lane_nrows) == L:
-        skip |= {i for i, eq in enumerate(config.lane_nrows) if eq}
-    carry_plan = None
-    if rb:
-        plan, cur, used, ok = [], [], 0, True
-        for i in range(L):
-            if i in skip:
-                continue
-            b = rb[i]
-            bits = (b * R).bit_length() + 1 if b > 0 else 64
-            if bits > 63:
-                ok = False
-                break
-            if used + bits > 63:
-                plan.append(tuple(cur))
-                cur, used = [], 0
-            cur.append((i, used, bits))
-            used += bits
-        if ok:
-            if cur:
-                plan.append(tuple(cur))
-            carry_plan = tuple(plan)
-
-    counts_rows = _enum_counts(packed, radix, R)       # int32 [radix]
-    bounds = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_rows)])
-    lo, hi = bounds[:-1], bounds[1:]                   # [radix]
-    live = hi > lo
-    nrows = (hi - lo).astype(jnp.int64)
-
-    def segdiff_rows(cum2d):
-        chi = jnp.take(cum2d, jnp.maximum(hi - 1, 0), axis=0)
-        clo = jnp.take(cum2d, jnp.maximum(lo - 1, 0), axis=0)
-        chi = jnp.where((hi > 0)[:, None], chi, 0)
-        clo = jnp.where((lo > 0)[:, None], clo, 0)
-        return jnp.where(live[:, None], chi - clo, 0)
+    def lane_value(i, dt):
+        """Sum-lane i's per-row value, computed directly in dtype dt —
+        [count=w, samples=1, (exists, kw, kwv)*A], matching
+        _agg_row_data's stacking order without the int64 staging."""
+        if i == 0:
+            return jnp.where(matched, weight, 0).astype(dt)
+        if i == 1:
+            return matched.astype(dt)
+        ai, which = divmod(i - 2, 3)
+        agg = config.aggs[ai]
+        avals, avalid = cols[agg.col]
+        v, populated = flat(avals), flat(avalid)
+        if which == 0:
+            return (matched & populated).astype(dt)
+        keep = matched & populated & ~((v > agg.discard_max) |
+                                       (v < agg.discard_min))
+        kw = jnp.where(keep, weight, 0)
+        if which == 1:
+            return kw.astype(dt)
+        bias = vbias[ai]
+        vv = (v - bias) if bias else v
+        # per-row product fits dt by the bind-time bound that built
+        # the carry plan (kw*(v-bias) <= lane_row_bounds[i] < 2^bits)
+        return kw.astype(dt) * vv.astype(dt)
 
     if carry_plan is not None:
         carriers = []
         for group in carry_plan:
             bits_total = group[-1][1] + group[-1][2]
             dt = jnp.int32 if bits_total <= 31 else jnp.int64
-            c = jnp.zeros((R,), jnp.int64)
+            c = None
             for (i, off, _) in group:
-                c = c | (lanes64[:, i] << off)   # nonneg, disjoint fields
-            carriers.append(c.astype(dt))        # narrow sort payload
+                lv = lane_value(i, dt)
+                term = (lv << off) if off else lv  # nonneg, disjoint
+                c = term if c is None else c | term
+            carriers.append(c)
         sorted_ops = jax.lax.sort([packed, *carriers], num_keys=1)
-        cols_out = {}
+        sidx = None
+    else:
+        # general fallback: carry row ids, gather + cumsum int64 lanes
+        idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
+        sorted_ops = jax.lax.sort([packed, idx], num_keys=1)
+        sidx = sorted_ops[1]
+
+    sp = sorted_ops[0]
+    iota = jnp.arange(R, dtype=jnp.int32)
+    diff = sp[1:] != sp[:-1]
+    pb = jnp.concatenate([jnp.ones((1,), bool), diff])    # segment starts
+    pe = jnp.concatenate([diff, jnp.ones((1,), bool)])    # segment ends
+    st = jax.lax.cummax(jnp.where(pb, iota, 0))           # start row of
+    live_end = pe & (sp < jnp.asarray(radix, sp.dtype))   # each row's seg
+    nrows_seg = (iota - st + 1).astype(jnp.int64)
+
+    lane_seg: dict[int, jnp.ndarray] = {}
+    if carry_plan is not None:
         for gi, group in enumerate(carry_plan):
             cum = jnp.cumsum(sorted_ops[1 + gi].astype(jnp.int64))
-            chi = jnp.where(hi > 0,
-                            jnp.take(cum, jnp.maximum(hi - 1, 0)), 0)
-            clo = jnp.where(lo > 0,
-                            jnp.take(cum, jnp.maximum(lo - 1, 0)), 0)
-            diff = jnp.where(live, chi - clo, 0)
+            prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), cum[:-1]])
+            base = jax.lax.cummax(jnp.where(pb, prev, 0))
+            segsum = cum - base          # at end rows: the group total
             for (i, off, bits) in group:
-                cols_out[i] = (diff >> off) & ((1 << bits) - 1)
-        sums = jnp.stack(
-            [cols_out.get(i, nrows) for i in range(L)], axis=1)
+                lane_seg[i] = (segsum >> off) & ((1 << bits) - 1)
     else:
-        # general fallback: carry row ids, gather + cumsum the lanes
-        idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
-        spacked, sidx = jax.lax.sort([packed, idx], num_keys=1)
+        lanes64, _ = _agg_row_data(config, cols, flat, matched, weight)
         slanes = jnp.take(lanes64, sidx, axis=0)       # [R, L] sorted
         cum = jnp.cumsum(slanes, axis=0)               # int64, exact
-        sums = segdiff_rows(cum)                       # [radix, L]
+        base = jnp.take(cum, jnp.maximum(st - 1, 0), axis=0)
+        base = jnp.where((st > 0)[:, None], base, 0)
+        seg = cum - base
+        for i in range(L):
+            lane_seg[i] = seg[:, i]
 
-    # keys from the enumeration itself (mixed-radix decode; digit 0 =
-    # MISSING, mirroring _dense_decode_keys)
-    gids = jnp.arange(radix, dtype=jnp.int64)
+    def lane(i):
+        return lane_seg.get(i, nrows_seg)
+
+    # prune score at segment-end rows; top_k picks winners in row space
+    Pfull = table_prefix(config)
+    Pk = min(Pfull, R)
+    if config.prune_agg >= 0:
+        ai = config.prune_agg
+        acnt = lane(3 + 3 * ai)
+        score = jnp.where(
+            live_end & (acnt > 0),
+            lane(4 + 3 * ai).astype(jnp.float32)
+            / jnp.maximum(acnt, 1).astype(jnp.float32),
+            -jnp.inf)
+    else:
+        score = jnp.where(live_end, lane(0), -1)
+    _, widx = jax.lax.top_k(score, Pk)
+    wlive = jnp.take(live_end, widx)
+
+    def wl(i):
+        v = jnp.where(wlive, jnp.take(lane(i), widx), 0)
+        if Pk < Pfull:       # tiny batch: pad to the table prefix
+            v = jnp.pad(v, (0, Pfull - Pk))
+        return v
+
+    # winner keys: mixed-radix decode of the packed values (digit 0 =
+    # MISSING, mirroring _dense_decode_keys); dead rows -> SENTINEL
+    gids = jnp.take(sp, widx).astype(jnp.int64)
     kcols = []
     for (mn, card) in reversed(pack):
         digit = gids % (card + 1)
         gids = gids // (card + 1)
         kcols.append(jnp.where(digit == 0, MISSING, digit - 1 + mn))
     kcols.reverse()
-    keys_tbl = jnp.stack(kcols, axis=1)               # [radix, K]
+    keys_tbl = jnp.stack(kcols, axis=1)               # [Pk, K]
+    keys_tbl = jnp.where(wlive[:, None], keys_tbl, SENTINEL)
+    if Pk < Pfull:
+        keys_tbl = jnp.pad(keys_tbl, ((0, Pfull - Pk), (0, 0)),
+                           constant_values=SENTINEL)
 
-    S = radix
     out = {
-        "num_groups": jnp.sum(live.astype(jnp.int32)),
+        "num_groups": jnp.sum(live_end.astype(jnp.int32)),
         "keys": keys_tbl,
-        "count": sums[:, 0],
-        "samples": sums[:, 1],
+        "count": wl(0),
+        "samples": wl(1),
         "spill": pack_spill,
+        # whole-scan totals for the Cumulative row (the host banks the
+        # difference against the kept rows, aggregate.go:422-471)
+        "total_count": jnp.sum(jnp.where(matched, weight, 0)),
+        "total_samples": jnp.sum(matched.astype(jnp.int64)),
     }
-    for ai in range(len(config.aggs)):
-        out[f"agg{ai}_exists"] = sums[:, 2 + 3 * ai] > 0
-        out[f"agg{ai}_count"] = sums[:, 3 + 3 * ai]
-        out[f"agg{ai}_wv"] = sums[:, 4 + 3 * ai]
+    for ai in range(A):
+        out[f"agg{ai}_exists"] = wl(2 + 3 * ai) > 0
+        out[f"agg{ai}_count"] = wl(3 + 3 * ai)
+        out[f"agg{ai}_wv"] = wl(4 + 3 * ai)
         # no hist lanes here (enum_radix forbids them): min/max are
         # never consulted downstream — emit empty-slot sentinels
-        out[f"agg{ai}_min"] = jnp.full((S,), 2**62, jnp.int64)
-        out[f"agg{ai}_max"] = jnp.full((S,), -2**62, jnp.int64)
+        out[f"agg{ai}_min"] = jnp.full((Pfull,), 2**62, jnp.int64)
+        out[f"agg{ai}_max"] = jnp.full((Pfull,), -2**62, jnp.int64)
     return out
 
 
@@ -1361,12 +1454,12 @@ def dense_keys_np(config: ScanConfig, time_bucket: int):
     slots = config.dense_slots
     sid = np.arange(slots, dtype=np.int64)
     cols = []
-    has_time = bool(config.time_col)
+    tpos = config.time_key_pos
     for i in reversed(range(len(config.key_bounds))):
         mn, card = config.key_bounds[i]
         digit = sid % (card + 1)
         sid = sid // (card + 1)
-        if has_time and i == 0:
+        if i == tpos:
             val = (digit - 1 + mn) * time_bucket
         else:
             val = np.where(digit == 0, MISSING, digit - 1 + mn)
@@ -1492,25 +1585,31 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
 
     pruned = 0
     if config.prune_topk > 0 and config.strategy != "dense":
-        # intermediate top-k ON the device (the TPU-native PruneResults,
-        # aggregate.go:469-471): only the best-scoring rows ever leave
-        # HBM — a high-cardinality group-by downloads prune_topk rows,
-        # not the whole 100k-slot table
-        live = (out["count"] > 0) | (out["samples"] > 0)
-        pruned = min(config.prune_topk, int(table.shape[0]), P)
-        if config.prune_agg >= 0:
-            ai = config.prune_agg
-            acnt = out[f"agg{ai}_count"]
-            score = jnp.where(
-                live & (acnt > 0),
-                out[f"agg{ai}_wv"].astype(jnp.float32)
-                / jnp.maximum(acnt, 1).astype(jnp.float32),
-                -jnp.inf)
-            _, pidx = jax.lax.top_k(score, pruned)
+        if "total_count" in out:
+            # enumerated strategy: the scan already selected the top
+            # rows in row space — the table IS the pruned set
+            pruned = min(int(table.shape[0]), P)
         else:
-            _, pidx = jax.lax.top_k(jnp.where(live, out["count"], -1),
-                                    pruned)
-        table = table[pidx]
+            # intermediate top-k ON the device (the TPU-native
+            # PruneResults, aggregate.go:469-471): only the
+            # best-scoring rows ever leave HBM — a high-cardinality
+            # group-by downloads prune_topk rows, not the whole
+            # 100k-slot table
+            live = (out["count"] > 0) | (out["samples"] > 0)
+            pruned = min(config.prune_topk, int(table.shape[0]), P)
+            if config.prune_agg >= 0:
+                ai = config.prune_agg
+                acnt = out[f"agg{ai}_count"]
+                score = jnp.where(
+                    live & (acnt > 0),
+                    out[f"agg{ai}_wv"].astype(jnp.float32)
+                    / jnp.maximum(acnt, 1).astype(jnp.float32),
+                    -jnp.inf)
+                _, pidx = jax.lax.top_k(score, pruned)
+            else:
+                _, pidx = jax.lax.top_k(jnp.where(live, out["count"], -1),
+                                        pruned)
+            table = table[pidx]
 
     meta = [out["num_groups"].astype(jnp.int64),
             out.get("spill", jnp.zeros((), jnp.int64))]
@@ -1566,7 +1665,12 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     # the Cumulative row exact (the reference merges into Cumulative
     # BEFORE PruneResults drops rows, aggregate.go:422-471)
     meta.append(jnp.asarray(pruned, dtype=jnp.int64))
-    if pruned:
+    if pruned and "total_count" in out:
+        # enumerated strategy: out[] holds only the kept rows; the scan
+        # computed whole-scan totals in row space before pruning
+        meta.append(out["total_count"])
+        meta.append(out["total_samples"])
+    elif pruned:
         meta.append(jnp.sum(out["count"]))
         meta.append(jnp.sum(out["samples"]))
     else:

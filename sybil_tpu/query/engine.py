@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -40,14 +39,60 @@ from .spec import AggDef, FilterDef, QueryParams, Result
 MISSING_I64 = -1  # == MaxUint64 in two's complement
 
 
-@dataclass
 class QueryResults:
-    results: dict[str, Result] = field(default_factory=dict)
-    time_results: dict[int, dict[str, Result]] = field(default_factory=dict)
-    cumulative: Result | None = None
-    matched_count: int = 0
-    sorted: list[Result] = field(default_factory=list)
-    samples: list[dict] = field(default_factory=list)
+    """Query output.  `time_results` materializes LAZILY: a rollup's
+    per-bucket Result objects (thousands of rows — the reference builds
+    them per record batch, aggregate.go:146-169) are only exploded from
+    the columnar finish tables when a consumer (printer, wire format,
+    aggregator) actually reads them; run_query itself stays columnar."""
+
+    def __init__(self):
+        self.results: dict[str, Result] = {}
+        self._time_results: dict[int, dict[str, Result]] = {}
+        self._time_pending = None   # set by the columnar finish
+        self.cumulative: Result | None = None
+        self.matched_count: int = 0
+        self.sorted: list[Result] = []
+        self.samples: list[dict] = []
+
+    @property
+    def time_results(self) -> dict[int, dict[str, Result]]:
+        if self._time_pending is not None:
+            pending, self._time_pending = self._time_pending, None
+            _explode_time_rows(self._time_results, *pending)
+        return self._time_results
+
+    @time_results.setter
+    def time_results(self, value) -> None:
+        self._time_pending = None
+        self._time_results = value
+
+
+def _explode_time_rows(per_time, tbs, gks, key_tuples, counts, samples,
+                       agg_rows):
+    """Fold the columnar finish arrays into the {bucket: {gk: Result}}
+    dict (combine-on-collision matches the eager path's semantics)."""
+    SENT = 2**62
+    for i in range(len(tbs)):
+        res = Result()
+        res.key_tuple = key_tuples[i]
+        res.group_key = gks[i]
+        res.count = counts[i]
+        res.samples = samples[i]
+        for col, info, ex, cnt, wv, mn, mx in agg_rows:
+            if not ex[i]:
+                continue
+            c = cnt[i]
+            res.hists[col] = BasicHist.from_sums(
+                info.min, info.max, c, wv[i],
+                mn[i] if c > 0 else SENT,
+                mx[i] if c > 0 else -SENT)
+        bucket = per_time.setdefault(tbs[i], {})
+        prev = bucket.get(res.group_key)
+        if prev is None:
+            bucket[res.group_key] = res
+        else:
+            prev.combine(res)
 
 
 class BoundQuery:
@@ -381,10 +426,9 @@ class BoundQuery:
 
         # windowed dense accumulation for rollups: digestion time-sorts
         # rows, so each block spans a narrow band of time buckets; the
-        # scan kernel can then one-hot only a [window, C] band per chunk
+        # scan kernel can then one-hot only [window, C] bands per chunk
         # (ops/scan.py _dense_reduce) instead of the full slot space
         window = 0
-        self.wide_dirs: set[str] = set()
         if self.config.time_col and kb_exact and kb_exact[0]:
             kid_t = schema.key_table.get(self.config.time_col)
             spans = {}
@@ -402,19 +446,18 @@ class BoundQuery:
                 qhi = self._trunc_div(e[1], p.time_bucket)
                 spans[d] = qhi - qlo + 1
             if ok and spans:
-                # a few blocks (partial-block top-ups, first digests)
-                # can span the whole time range and would blow the
-                # window up to the full slot space: size the window for
-                # the p90 block and scan the wide stragglers separately
-                # on the plain kernel (run_query splits the dirs)
+                # the banded kernel sweeps as many windows per chunk as
+                # the chunk's real gid span needs (ops/scan.py
+                # _dense_reduce), so wide straggler blocks
+                # (partial-block top-ups, first digests) cost extra
+                # bands, never a separate pass — size the band for the
+                # MEDIAN block so the common chunk does one sweep
                 svals = sorted(spans.values())
-                t_span = svals[int(0.9 * (len(svals) - 1))]
+                t_span = svals[len(svals) // 2]
                 radix_rest = 1
                 for (_, card) in key_bounds[1:]:
                     radix_rest *= card + 1
                 window = -(-((t_span + 1) * radix_rest) // 128) * 128
-                self.wide_dirs = {d for d, s in spans.items()
-                                  if s > t_span}
 
         self.config = _dc.replace(
             self.config,
@@ -943,11 +986,6 @@ def _run_query_inner(table: Table, params: QueryParams,
 
     cache_mode = (flags.cache_queries and not params.samples
                   and not flags.read_log)
-    if cache_mode and bound.config.window:
-        # grouped cache scans mix narrow and wide blocks freely; the
-        # banded kernel would spill on wide ones — use the plain kernel
-        import dataclasses as _dc
-        bound.config = _dc.replace(bound.config, window=0)
     if cache_mode:
         from . import cache as qcache
         acc = _Accumulator(bound)
@@ -989,10 +1027,15 @@ def _run_query_inner(table: Table, params: QueryParams,
             to_scan = [(k, live) for k, live in missed_live if live]
             # many groups per dispatch via a synthetic group-index key
             # (one download round trip per ~B/16 groups); only when the
-            # augmented key space stays dense and the shapes are local
+            # augmented key space stays dense and the shapes are local.
+            # The vgroup count ADAPTS: the largest power-of-two batch
+            # whose augmented key space still fits the dense (banded-
+            # window / HLL-plane) budget — time rollups and grouped
+            # distincts ride smaller vgroup batches instead of falling
+            # back to one blocking round trip per group
             use_vg = False
+            vg_cap = 1
             if to_scan and mesh is None and not multihost \
-                    and not bound.config.time_col \
                     and B >= qcache.GROUP_SIZE \
                     and all(len(g) <= qcache.GROUP_SIZE
                             for _, g in to_scan):
@@ -1002,13 +1045,18 @@ def _run_query_inner(table: Table, params: QueryParams,
                 ngp = 1
                 while ngp < ng_try:
                     ngp *= 2       # the scan pads group counts to pow2
-                probe = _dc.replace(
-                    bound.config,
-                    group_cols=("__cg__",) + bound.config.group_cols,
-                    key_bounds=((0, ngp),) + bound.config.key_bounds,
-                    sort_pack=(), window=0)
-                use_vg = probe.dense_slots > 0 and (
-                    not probe.hll or probe.dense_slots <= 1024)
+                while ngp >= 1:
+                    probe = _dc.replace(
+                        bound.config,
+                        group_cols=("__cg__",) + bound.config.group_cols,
+                        key_bounds=((0, ngp),) + bound.config.key_bounds,
+                        sort_pack=(), vg_span=qcache.GROUP_SIZE)
+                    if probe.dense_slots > 0 and (
+                            not probe.hll or probe.dense_slots <= 1024):
+                        use_vg = True
+                        vg_cap = ngp
+                        break
+                    ngp //= 2
             if to_scan and use_vg:
                 # the uncacheable rest blocks ride the same dispatch as
                 # extra (unsaved) virtual groups of <= GROUP_SIZE each
@@ -1019,7 +1067,8 @@ def _run_query_inner(table: Table, params: QueryParams,
                     rk = ("__REST__", j)
                     rest_keys.append(rk)
                     vg_groups.append((rk, rest[j: j + GS]))
-                group_accs = _scan_cache_vgroups(ctx, vg_groups, B)
+                group_accs = _scan_cache_vgroups(ctx, vg_groups, B,
+                                                 vg_cap)
                 for rk in rest_keys:
                     ra = group_accs.pop(rk, None)
                     if ra is not None:
@@ -1057,20 +1106,7 @@ def _run_query_inner(table: Table, params: QueryParams,
             acc.maybe_prune()
     else:
         _maybe_device_prune(bound, params, block_dirs, B)
-        wide = getattr(bound, "wide_dirs", None)
-        if (wide and 0 < bound.config.window < bound.config.dense_slots
-                and not params.samples and mesh is None):
-            # windowed rollup: scan the narrow (time-local) blocks with
-            # the banded kernel and the wide stragglers separately on
-            # the plain one; the accumulator merges the partials
-            import dataclasses as _dc
-            narrow = [d for d in block_dirs if d not in wide]
-            widel = [d for d in block_dirs if d in wide]
-            cfg_wide = _dc.replace(bound.config, window=0)
-            acc = _scan_dirs(ctx, narrow, B, allow_prune=True,
-                             extra=((widel, cfg_wide),) if widel else ())
-        else:
-            acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
+        acc = _scan_dirs(ctx, block_dirs, B, allow_prune=True)
 
     if flags.read_log:
         with timer.phase("rowstore"):
@@ -1117,28 +1153,30 @@ def _maybe_device_prune(bound: BoundQuery, params: QueryParams,
                                prune_agg=pagg)
 
 
-def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int):
+def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int, vg_cap: int):
     """Scan MANY 16-block cache groups in ONE device dispatch by
     prepending a synthetic per-block group-index key ("__cg__", value =
     block_position // GROUP_SIZE): the result table then carries
     (cache-group, *group-keys) rows that the host splits into per-group
-    accumulators.  One download round trip per ~B/16 groups instead of
-    one per group — the last factor between cache-write cost and an
-    uncached scan.  Returns {key: acc} like _scan_dirs(groups=...)."""
+    accumulators.  One download round trip per ~vg_cap groups instead
+    of one per group — the last factor between cache-write cost and an
+    uncached scan.  Under a time rollup the cg key is emitted MOST
+    significant (ScanConfig.vg_first) so the banded window sweep still
+    applies; HLL register-plane shipment is raised to cover every
+    possible live vgroup.  Dispatches pipeline across group chunks
+    (async D2H) like _scan_dirs.  Returns {key: acc} like
+    _scan_dirs(groups=...)."""
     import dataclasses as _dc
-
-    import jax.numpy as jnp
 
     from ..ops.residency import device_const
     from . import cache as qcache
 
     bound, timer, C = ctx.bound, ctx.timer, ctx.C
     GS = qcache.GROUP_SIZE
-    ngrp_max = max(1, B // GS)
+    ngrp_max = max(1, min(B // GS, vg_cap))
     accs: dict = {}
 
-    for start in range(0, len(groups), ngrp_max):
-        chunk = groups[start: start + ngrp_max]
+    def dispatch_chunk(chunk, force_sorted: bool):
         ng = len(chunk)
         # pad the group count to a power of two: one kernel shape per
         # size class instead of one per missed-group count (server-side
@@ -1162,7 +1200,10 @@ def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int):
             base,
             group_cols=("__cg__",) + base.group_cols,
             key_bounds=((0, ngp),) + base.key_bounds,
-            sort_pack=(), window=0, vg_span=GS)
+            sort_pack=(), vg_span=GS,
+            hll_ship=max(base.hll_ship, 2 * ngp) if base.hll
+            else base.hll_ship,
+            force_sorted=force_sorted or base.force_sorted)
         with timer.phase("load"):
             loader = BatchLoader(bound, dirs, C,
                                  {d: ctx.infos[d].num_records
@@ -1172,40 +1213,77 @@ def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int):
             for pp in pad_pos:       # in-group padding of partial groups
                 nrec[pp] = 0
             Bc = len(dirs)
-        for attempt in range(2):
-            with timer.phase("dispatch"):
-                from ..ops.scan import scan_packed_jit
-                packed, out = scan_packed_jit(
-                    vcfg, cols, device_const(nrec), ctx.jfv, ctx.jbits,
-                    ctx.jtb,
-                    {k: (device_const(r) if isinstance(r, np.ndarray)
-                         else r,
-                         device_const(v) if isinstance(v, np.ndarray)
-                         else v) for k, (r, v) in set_aux.items()})
+        with timer.phase("dispatch"):
+            from ..ops.scan import scan_packed_jit
+            packed, out = scan_packed_jit(
+                vcfg, cols, device_const(nrec), ctx.jfv, ctx.jbits,
+                ctx.jtb,
+                {k: (device_const(r) if isinstance(r, np.ndarray)
+                     else r,
+                     device_const(v) if isinstance(v, np.ndarray)
+                     else v) for k, (r, v) in set_aux.items()})
+        _start_d2h(packed)
+        return vcfg, packed, out, Bc
+
+    def drain_chunk(chunk, vcfg, packed, out, Bc):
+        tmp = _Accumulator(bound)
+        tmp.prune_cap = 0
+        with timer.phase("drain"):
+            spill = tmp.absorb_packed(packed, out, Bc * C, vcfg)
+        if spill > 0:
+            # a key fell outside its declared bound: redo this chunk
+            # alone, blocking, on the unpacked sorted strategy
+            debug("vgroup scan spilled; retrying unpacked sorted")
+            vcfg2, packed2, out2, Bc2 = dispatch_chunk(chunk, True)
             tmp = _Accumulator(bound)
             tmp.prune_cap = 0
             with timer.phase("drain"):
-                spill = tmp.absorb_packed(packed, out, Bc * C, vcfg)
-            if spill == 0:
-                break
-            debug("vgroup scan spilled; retrying unpacked sorted")
-            vcfg = _dc.replace(vcfg, force_sorted=True)
-        # split the batch accumulator by the leading cache-group key
-        tmp._materialize()
+                tmp.absorb_packed(packed2, out2, Bc2 * C, vcfg2)
+        ng = len(chunk)
         split_rows: list[dict] = [dict() for _ in range(ng)]
         split_matched = [0] * ng
-        for kt, row in tmp.rows.items():
-            j = kt[0]
-            if 0 <= j < ng:
-                split_rows[j][kt[1:]] = row
-                split_matched[j] += row["samples"]
+        split_batches: list[list] = [[] for _ in range(ng)]
+        if tmp.np_batches and not tmp.rows:
+            # columnar split by the leading cache-group key: per-group
+            # partials stay parked as numpy batches (the binary cache
+            # writes them columnar, and hits merge them back columnar)
+            for ak, counts, samples, aggs in tmp.np_batches:
+                cg = ak[:, 0]
+                for j in range(ng):
+                    sel = np.nonzero(cg == j)[0]
+                    if not len(sel):
+                        continue
+                    split_batches[j].append((
+                        ak[sel][:, 1:], counts[sel], samples[sel],
+                        [(ex[sel], cnt[sel], wv[sel], mn[sel], mx[sel])
+                         for (ex, cnt, wv, mn, mx) in aggs]))
+                    split_matched[j] += int(samples[sel].sum())
+            tmp.np_batches = []
+        else:
+            # slow shapes (hist lanes, distinct registers): dict split
+            tmp._materialize()
+            for kt, row in tmp.rows.items():
+                j = kt[0]
+                if 0 <= j < ng:
+                    split_rows[j][kt[1:]] = row
+                    split_matched[j] += row["samples"]
         for j, (k, _) in enumerate(chunk):
             a = _Accumulator(bound)
             a.prune_cap = 0
             a.rows = split_rows[j]
+            a.np_batches = split_batches[j]
             a.matched_count = split_matched[j]
             a.batches = 1
             accs[k] = a
+
+    pending: list[tuple] = []
+    for start in range(0, len(groups), ngrp_max):
+        chunk = groups[start: start + ngrp_max]
+        pending.append((chunk, *dispatch_chunk(chunk, False)))
+        if len(pending) >= PIPELINE:
+            drain_chunk(*pending.pop(0))
+    while pending:
+        drain_chunk(*pending.pop(0))
     return accs
 
 
@@ -1257,7 +1335,7 @@ def _start_d2h(packed) -> None:
 
 
 def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
-               allow_prune: bool, groups=None, extra=()):
+               allow_prune: bool, groups=None):
     """Scan a set of block dirs into a fresh accumulator, with the batch
     pipeline and dense-spill retry scoped to this call.
 
@@ -1294,22 +1372,14 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
         pid = jax.process_index()
 
     if groups is None:
-        work = [(None, block_dirs[s: s + B], B, None)
+        work = [(None, block_dirs[s: s + B], B)
                 for s in range(0, len(block_dirs), B)]
         all_dirs = list(block_dirs)
     else:
-        work = [(k, dirs[s: s + B], B, None)
+        work = [(k, dirs[s: s + B], B)
                 for k, dirs in groups
                 for s in range(0, len(dirs), B)]
         all_dirs = [d for _, dirs in groups for d in dirs]
-    # extra: [(dirs, config), ...] — batches scanned under a DIFFERENT
-    # static config but riding the same pipeline (the rollup wide-block
-    # pass; one drain stream instead of a second blocking round trip)
-    for dirs_x, cfg_x in extra:
-        Bx = max(1, min(B, len(dirs_x)))
-        work += [(None, dirs_x[s: s + Bx], Bx, cfg_x)
-                 for s in range(0, len(dirs_x), Bx)]
-        all_dirs += list(dirs_x)
     n_batches = {}
     for k, *_ in work:
         n_batches[k] = n_batches.get(k, 0) + 1
@@ -1364,12 +1434,10 @@ def _scan_dirs(ctx: _ScanCtx, block_dirs: list[str], B: int,
 
         expected = {d: infos[d].num_records for d in all_dirs
                     if d in infos}
-        for gkey, batch, Bi, cfg_item in work:
+        for gkey, batch, Bi in work:
             if stop_early():
                 break
-            cfg = cfg_item if cfg_item is not None else bound.config
-            if attempt and cfg_item is not None:
-                cfg = _dc.replace(cfg, force_sorted=True, sort_pack=())
+            cfg = bound.config
             batch_dirs = batch + [batch[-1]] * (Bi - len(batch))  # pad
             R = Bi * C
             if multihost:
@@ -1658,9 +1726,11 @@ class _Accumulator:
 
     def merge_from(self, other: "_Accumulator") -> None:
         """Merge another accumulator's rows (cached group partials or a
-        scoped sub-scan) into this one."""
-        self._materialize()
-        other._materialize()
+        scoped sub-scan) into this one.  Parked columnar batches move
+        over WITHOUT materializing — `finish` folds them vectorized, so
+        merging N cache-group hits stays columnar end to end."""
+        self.np_batches.extend(other.np_batches)
+        other.np_batches = []
         self.matched_count += other.matched_count
         self.cum_extra_count += other.cum_extra_count
         self.cum_extra_samples += other.cum_extra_samples
@@ -2323,83 +2393,104 @@ class _Accumulator:
                 aggs.append((ex, cnt, wv, mn, mx))
 
         time_mode = p.time_bucket > 0
-        gb = 1 if time_mode else 0
         str_cols = [bound._strings(c)
                     if bound.col_types[c] == STR_VAL else None
                     for c in p.groups]
-        keys_l = ak.tolist()
+        infos = [(a.col, lay[0]) for a, lay in
+                 zip(p.aggs, bound.agg_layouts)]
+        G = GROUP_DELIMITER
+
+        def gk_of(gkt: tuple) -> str:
+            if not p.groups:
+                return "total"
+            parts = []
+            for ci, v in enumerate(gkt):
+                if v == MISSING_I64:
+                    parts.append("")
+                else:
+                    ss = str_cols[ci]
+                    if ss is None:
+                        parts.append(str(v))
+                    else:
+                        parts.append(ss[v] if 0 <= v < len(ss) else "")
+                parts.append(G)
+            return "".join(parts)
+
         counts_l = counts.tolist()
         samples_l = samples.tolist()
         aggs_l = [(np.asarray(ex).tolist(), cnt.tolist(), wv.tolist(),
                    mn.tolist(), mx.tolist())
                   for (ex, cnt, wv, mn, mx) in aggs]
-        infos = [(a.col, lay[0]) for a, lay in
-                 zip(p.aggs, bound.agg_layouts)]
-        flat: dict[str, Result] = {}
-        per_time: dict[int, dict[str, Result]] = {}
-        G = GROUP_DELIMITER
-        gk_memo: dict[tuple, str] = {}
-        for i in range(len(keys_l)):
-            kt = keys_l[i]
-            gkt = tuple(kt[gb:])
-            if not p.groups:
-                gk = "total"
+
+        if time_mode:
+            # rollups produce thousands of (bucket, group) rows whose
+            # Result objects the reference builds eagerly
+            # (aggregate.go:146-169); here only the few per-GROUP
+            # totals are built now — the per-bucket explosion parks on
+            # qr and runs lazily on first time_results access
+            gpart = ak[:, 1:]
+            if gpart.shape[1]:
+                uniq, inv = np.unique(gpart, axis=0, return_inverse=True)
             else:
-                gk = gk_memo.get(gkt)
-                if gk is None:
-                    # rollups repeat the same few group tuples across
-                    # thousands of time buckets: build each string once
-                    parts = []
-                    for ci, v in enumerate(gkt):
-                        if v == MISSING_I64:
-                            parts.append("")
-                        else:
-                            ss = str_cols[ci]
-                            if ss is None:
-                                parts.append(str(v))
-                            else:
-                                parts.append(ss[v]
-                                             if 0 <= v < len(ss) else "")
-                        parts.append(G)
-                    gk = gk_memo[gkt] = "".join(parts)
-            res = Result()
-            res.key_tuple = gkt
-            res.group_key = gk
-            res.count = counts_l[i]
-            res.samples = samples_l[i]
-            for ai, (col, info) in enumerate(infos):
-                ex, cnt, wv, mn, mx = aggs_l[ai]
-                if not ex[i]:
-                    continue
-                c = cnt[i]
-                res.hists[col] = BasicHist.from_sums(
-                    info.min, info.max, c, wv[i],
-                    mn[i] if c > 0 else SENT,
-                    mx[i] if c > 0 else -SENT)
-            if time_mode:
-                bucket = per_time.setdefault(kt[0], {})
-                prev = bucket.get(gk)
-                if prev is None:
-                    bucket[gk] = res
-                else:
-                    prev.combine(res)
-                tot = flat.get(gk)
+                uniq = np.zeros((1, 0), np.int64)
+                inv = np.zeros(len(ak), np.int64)
+            inv = inv.reshape(-1)
+            U = uniq.shape[0]
+            key_tuples = [tuple(t) for t in uniq.tolist()]
+            ugks = [gk_of(t) for t in key_tuples]
+            csum = np.zeros(U, np.int64)
+            np.add.at(csum, inv, counts)
+            ssum = np.zeros(U, np.int64)
+            np.add.at(ssum, inv, samples)
+            flat: dict[str, Result] = {}
+            for j in range(U):
+                tot = flat.get(ugks[j])
                 if tot is None:
                     tot = Result()
-                    tot.group_key = gk
-                    tot.key_tuple = gkt
-                    flat[gk] = tot
-                tot.count += res.count
-                tot.samples += res.samples
-            else:
+                    tot.group_key = ugks[j]
+                    tot.key_tuple = key_tuples[j]
+                    flat[ugks[j]] = tot
+                tot.count += int(csum[j])
+                tot.samples += int(ssum[j])
+            inv_l = inv.tolist()
+            gks = [ugks[j] for j in inv_l]
+            row_kts = [key_tuples[j] for j in inv_l]
+            agg_rows = [(col, info, *aggs_l[ai])
+                        for ai, (col, info) in enumerate(infos)]
+            qr.results = flat
+            qr.time_results = {}
+            qr._time_pending = (ak[:, 0].tolist(), gks, row_kts,
+                                counts_l, samples_l, agg_rows)
+        else:
+            keys_l = ak.tolist()
+            flat = {}
+            gk_memo: dict[tuple, str] = {}
+            for i in range(len(keys_l)):
+                gkt = tuple(keys_l[i])
+                gk = gk_memo.get(gkt)
+                if gk is None:
+                    gk = gk_memo[gkt] = gk_of(gkt)
+                res = Result()
+                res.key_tuple = gkt
+                res.group_key = gk
+                res.count = counts_l[i]
+                res.samples = samples_l[i]
+                for ai, (col, info) in enumerate(infos):
+                    ex, cnt, wv, mn, mx = aggs_l[ai]
+                    if not ex[i]:
+                        continue
+                    c = cnt[i]
+                    res.hists[col] = BasicHist.from_sums(
+                        info.min, info.max, c, wv[i],
+                        mn[i] if c > 0 else SENT,
+                        mx[i] if c > 0 else -SENT)
                 prev = flat.get(gk)
                 if prev is None:
                     flat[gk] = res
                 else:
                     prev.combine(res)
-
-        qr.results = flat
-        qr.time_results = per_time
+            qr.results = flat
+            qr.time_results = {}
         cumulative = Result()
         cumulative.group_key = "TOTAL"
         if len(p.groups) > 1:

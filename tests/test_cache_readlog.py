@@ -206,9 +206,9 @@ def test_cache_vgroup_batch_parity(tmp_path):
     called = {}
     real = eng._scan_cache_vgroups
 
-    def spy(ctx, groups, B):
+    def spy(ctx, groups, B, vg_cap):
         called["n"] = len(groups)
-        return real(ctx, groups, B)
+        return real(ctx, groups, B, vg_cap)
 
     eng._scan_cache_vgroups = spy
     cflags = Flags(**{**vars(flags), "cache_queries": True})
