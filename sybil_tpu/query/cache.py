@@ -15,8 +15,15 @@ Block names are monotonic (creation-time-prefixed), so newly digested
 blocks always append new groups and never disturb existing ones; partial
 blocks and the trailing <16 remainder are scanned uncached per query.
 Cached entries hold the accumulator's raw partial rows (counts, agg
-sums, hist bucket arrays, HLL registers) as gzipped JSON under
-db/T/cache/q_<md5>.json.gz.
+sums, hist bucket arrays, HLL registers) in the SYB1 binary container
+(codec.py) under db/T/cache/q_<md5>.syb: simple shapes write their
+parked COLUMNAR batches as raw little-endian arrays (and load straight
+back into the columnar fast lane — no per-row dict churn on hit or
+write); shapes with histogram / t-digest / HLL / outlier state write a
+compact JSON row list whose big arrays (bucket matrices, register
+planes, centroids) are hoisted into raw binary sections.  (Rounds 1-4
+used gzipped base64-JSON, which alone cost more than an uncached scan
+on register-heavy shapes.)
 
 The time-sliding trick is preserved per group: filters trivially true
 over every block in the group are dropped from that group's key
@@ -25,8 +32,6 @@ over every block in the group are dropped from that group's key
 
 from __future__ import annotations
 
-import base64
-import gzip
 import hashlib
 import json
 import os
@@ -112,67 +117,126 @@ def group_cache_key(params: QueryParams, table: Table, gdirs: list[str],
 
 
 def _cache_path(table: Table, key: str) -> str:
-    return os.path.join(table.dir, constants.CACHE_DIR, f"q_{key}.json.gz")
+    return os.path.join(table.dir, constants.CACHE_DIR, f"q_{key}.syb")
 
 
-def _rows_to_wire(acc) -> dict:
-    if hasattr(acc, "_materialize"):
-        acc._materialize()   # fold any parked columnar batches first
+def _fast_sections(acc):
+    """Columnar form: the accumulator's parked batches as raw arrays.
+    Eligible exactly when the scan's columnar fast lane was (no hist /
+    distinct / outlier / t-digest state, absorb_packed gate)."""
+    batches = acc.np_batches
+    ak = np.concatenate([b[0] for b in batches])
+    sections = {
+        "fk": np.ascontiguousarray(ak, dtype=np.int64),
+        "fc": np.concatenate([b[1] for b in batches]).astype(np.int64),
+        "fs": np.concatenate([b[2] for b in batches]).astype(np.int64),
+    }
+    n_aggs = len(batches[0][3])
+    for ai in range(n_aggs):
+        for fi, fname in enumerate(("ex", "cnt", "wv", "mn", "mx")):
+            col = np.concatenate(
+                [np.asarray(b[3][ai][fi]) for b in batches])
+            dt = np.int8 if fname == "ex" else np.int64
+            sections[f"a{ai}_{fname}"] = col.astype(dt)
+    return {"fast": True, "n_aggs": n_aggs}, sections
+
+
+def _row_sections(acc):
+    """Row form: JSON rows with the big arrays (hist bucket rows, HLL
+    register planes, t-digest centroids) hoisted into binary sections,
+    referenced by index."""
+    acc._materialize()
     rows = []
+    hists: list[np.ndarray] = []
+    hlls: list[np.ndarray] = []
+    td_means: list[np.ndarray] = []
+    td_weights: list[np.ndarray] = []
     for kt, row in acc.rows.items():
         aggs = []
         for cur in row["aggs"]:
             if cur is None:
                 aggs.append(None)
                 continue
-            aggs.append({
-                "c": cur["count"], "w": cur["wv"],
-                "mn": cur["min"], "mx": cur["max"],
-                "h": (None if cur["hist"] is None
-                      else np.asarray(cur["hist"]).tolist()),
-                "o": list(cur["outliers"]),
-                **({"td": list(cur["td"].centroids())}
-                   if cur.get("td") is not None else {}),
-            })
+            a = {"c": cur["count"], "w": cur["wv"],
+                 "mn": cur["min"], "mx": cur["max"],
+                 "o": [int(x) for x in cur["outliers"]]}
+            if cur["hist"] is not None:
+                a["hi"] = len(hists)
+                hists.append(np.asarray(cur["hist"], dtype=np.int64))
+            if cur.get("td") is not None:
+                means, weights = cur["td"].centroids()
+                a["ti"] = len(td_means)
+                td_means.append(np.asarray(means, dtype=np.float64))
+                td_weights.append(np.asarray(weights, dtype=np.float64))
+            aggs.append(a)
         d = None
         if row["distinct"] is not None:
-            d = base64.b64encode(
-                row["distinct"].registers.tobytes()).decode()
+            d = len(hlls)
+            hlls.append(np.asarray(row["distinct"].registers,
+                                   dtype=np.uint8))
         rows.append([list(kt), row["count"], row["samples"], aggs, d])
-    return {"v": 1, "matched": acc.matched_count, "batches": acc.batches,
-            "rows": rows}
+    sections = {}
+
+    def ragged(name, parts):
+        if not parts:
+            return
+        sections[name] = np.concatenate(parts)
+        sections[name + "_off"] = np.cumsum(
+            [0] + [len(p) for p in parts]).astype(np.int64)
+
+    ragged("hist", hists)
+    ragged("tdm", td_means)
+    ragged("tdw", td_weights)
+    if hlls:
+        sections["hll"] = np.stack(hlls)
+    return {"fast": False, "rows": rows}, sections
 
 
-def _rows_from_wire(data: dict, bound):
+def _acc_from_container(c, bound):
     from .engine import _Accumulator
     from .hll import HLL
+    meta = c.meta
     acc = _Accumulator(bound)
-    acc.matched_count = int(data.get("matched", 0))
-    acc.batches = int(data.get("batches", 1))
-    for kt_l, count, samples, aggs_w, d64 in data["rows"]:
+    acc.matched_count = int(meta.get("matched", 0))
+    acc.batches = int(meta.get("batches", 1))
+    if meta.get("fast"):
+        ak = c.read("fk")
+        aggs = []
+        for ai in range(int(meta.get("n_aggs", 0))):
+            aggs.append(tuple(
+                c.read(f"a{ai}_{f}") for f in
+                ("ex", "cnt", "wv", "mn", "mx")))
+        acc.np_batches.append((ak, c.read("fc"), c.read("fs"), aggs))
+        return acc
+
+    def ragged(name, i):
+        off = c.read(name + "_off")
+        return c.read(name)[off[i]: off[i + 1]]
+
+    for kt_l, count, samples, aggs_w, di in meta["rows"]:
         aggs = []
         for cur in aggs_w:
             if cur is None:
                 aggs.append(None)
                 continue
-            a = {
-                "count": cur["c"], "wv": cur["w"],
-                "min": cur["mn"], "max": cur["mx"],
-                "hist": (None if cur["h"] is None
-                         else np.asarray(cur["h"], dtype=np.int64)),
-                "outliers": list(cur["o"]),
-            }
-            if cur.get("td") is not None:
+            a = {"count": cur["c"], "wv": cur["w"],
+                 "min": cur["mn"], "max": cur["mx"],
+                 "hist": (np.asarray(ragged("hist", cur["hi"]),
+                                     dtype=np.int64)
+                          if "hi" in cur else None),
+                 "outliers": list(cur["o"])}
+            if "ti" in cur:
                 from .hist import TDigest
                 td = TDigest()
-                td.add_many(cur["td"][0], cur["td"][1])
+                td.add_many(ragged("tdm", cur["ti"]).tolist(),
+                            ragged("tdw", cur["ti"]).tolist())
                 a["td"] = td
             aggs.append(a)
         distinct = None
-        if d64 is not None:
+        if di is not None:
             distinct = HLL()
-            distinct.registers = np.frombuffer(
-                base64.b64decode(d64), dtype=np.uint8).copy()
+            distinct.registers = np.asarray(c.read("hll")[di],
+                                            dtype=np.uint8).copy()
         acc.rows[tuple(kt_l)] = {"count": count, "samples": samples,
                                  "aggs": aggs, "distinct": distinct}
     return acc
@@ -180,36 +244,32 @@ def _rows_from_wire(data: dict, bound):
 
 def load_group_rows(table: Table, key: str, bound):
     global HITS, MISSES
+    from ..codec import read_container
     path = _cache_path(table, key)
     try:
-        with gzip.open(path, "rt") as f:
-            data = json.load(f)
-        if data.get("v") != 1:
+        c = read_container(path)
+        if c.meta.get("cv") != 2:
             MISSES += 1
             return None
         HITS += 1
-        return _rows_from_wire(data, bound)
-    except (OSError, ValueError, KeyError):
+        return _acc_from_container(c, bound)
+    except (OSError, ValueError, KeyError, IndexError):
         MISSES += 1
         return None
 
 
 def save_group_rows(table: Table, key: str, acc) -> None:
+    from ..codec import write_container
     os.makedirs(os.path.join(table.dir, constants.CACHE_DIR), exist_ok=True)
     path = _cache_path(table, key)
-    tmp = path + f".tmp{os.getpid()}"
     try:
-        # level 1: cache writes sit on the query's critical path; the
-        # size difference vs default level is a few percent here
-        with gzip.open(tmp, "wt", compresslevel=1) as f:
-            json.dump(_rows_to_wire(acc), f)
-        os.rename(tmp, path)
+        if acc.np_batches and not acc.rows:
+            meta, sections = _fast_sections(acc)
+        else:
+            meta, sections = _row_sections(acc)
+        meta.update({"cv": 2, "matched": acc.matched_count,
+                     "batches": acc.batches})
+        write_container(path, meta, sections)
         debug("query cache write", key)
     except OSError as e:
         debug("query cache write failed", e)
-    finally:
-        if os.path.exists(tmp):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
