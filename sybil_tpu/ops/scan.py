@@ -137,10 +137,21 @@ class ScanConfig:
     agg_vbias: tuple[int, ...] = ()
     # windowed dense accumulation for time-major rollups (>0 = band
     # size in slots, derived at bind time from exact per-block time
-    # bounds): each chunk's one-hot covers only a [window, ch] band of
+    # bounds): each chunk's one-hot covers only [window, ch] bands of
     # the gid space instead of [dense_slots, ch] — digestion
     # time-sorts rows, so a block spans few time buckets
     window: int = 0
+    # band sub-chunking: rows WITHIN a block are time-sorted too, so a
+    # fraction of a block spans a fraction of its bucket range — the
+    # band loop chunks at window_chunk rows (not the full block) and
+    # the window shrinks proportionally.  One-hot traffic is R*window
+    # bytes regardless of chunk size, so an 8x narrower window per
+    # 1/8-block chunk is ~8x less traffic.  0 = chunk at block size.
+    window_chunk: int = 0
+    # exact time bounds (engine bind) prove the time column and bucket
+    # fit int32: the per-row bucket division then runs at int32 speed
+    # (64-bit div/mul are emulated multi-pass ops on the VPU)
+    time_i32: bool = False
     # device-side HyperLogLog (SURVEY §7): single distinct column with
     # dense-bounded group keys -> per-group 2^14 uint8 register planes
     # updated by scatter-max ON the chip, no sort and no pair download.
@@ -401,7 +412,13 @@ def _front_end(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     if config.time_col:
         tvals, tvalid = cols[config.time_col]
         matched = matched & flat(tvalid)
-        tb = _trunc_div(flat(tvals), time_bucket) * time_bucket
+        tv = flat(tvals)
+        if config.time_i32:
+            tb32 = time_bucket.astype(jnp.int32)
+            q = _trunc_div(tv.astype(jnp.int32), tb32)
+            tb = (q * tb32).astype(jnp.int64)
+        else:
+            tb = _trunc_div(tv, time_bucket) * time_bucket
         keys.append(tb)
 
     for g in config.group_cols:
@@ -557,7 +574,10 @@ def _dense_gid(config: ScanConfig, keys, matched, time_bucket):
     outlier-resistant so this CAN happen for int keys)."""
     slots = config.dense_slots
     R = keys[0].shape[0]
-    gid = jnp.zeros((R,), jnp.int64)
+    # gid accumulates in int32 (slots <= 64Ki): int64 multiplies are
+    # emulated multi-pass ops on the VPU and showed up as the largest
+    # front-end fusion in rollup traces
+    gid = jnp.zeros((R,), jnp.int32)
     spilled = jnp.zeros((R,), bool)
     tpos = config.time_key_pos
     if not config.key_bounds:      # no group cols: one global group
@@ -568,15 +588,19 @@ def _dense_gid(config: ScanConfig, keys, matched, time_bucket):
         if i == tpos:
             # the time key lane is trunc_div(t,tb)*tb; bound is on the
             # quotient (matched rows always have time populated)
-            q = _trunc_div(k, time_bucket)
+            if config.time_i32:
+                q = _trunc_div(k.astype(jnp.int32),
+                               time_bucket.astype(jnp.int32))
+            else:
+                q = _trunc_div(k, time_bucket)
             digit = q - mn + 1
             spilled = spilled | (q < mn) | (q >= mn + card)
         else:
             digit = jnp.where(k == MISSING, 0, k - mn + 1)
             spilled = spilled | ((k != MISSING) &
                                  ((k < mn) | (k >= mn + card)))
-        gid = gid * (card + 1) + jnp.clip(digit, 0, card)
-    gid = jnp.where(matched, gid, slots - 1).astype(jnp.int32)
+        gid = gid * (card + 1) + jnp.clip(digit, 0, card).astype(jnp.int32)
+    gid = jnp.where(matched, gid, slots - 1)
     spill = jnp.sum((spilled & matched).astype(jnp.int64))
     return gid, spill
 
@@ -680,18 +704,25 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
     if window:
         Wb = window
         iot_w = jnp.arange(Wb, dtype=jnp.int32)[:, None]
-        matched_b = jax.lax.optimization_barrier(matched)
+        # accumulators run TRANSPOSED [T, slots]: with T of ~2-30 lanes
+        # a [slots, T] layout wastes ~96% of every (8, 128) tile, and
+        # every band RMW would touch the padded tiles; [T, slots] keeps
+        # the 128-lane dim dense.  The dot produces [T, Wb] directly
+        # (contract ch of sl with ch of hit — no transposes appear).
+        # matched is NOT a separate stream here: unmatched rows already
+        # carry the dead slot (slots-1), which the band range check
+        # excludes by construction (lo/hi scan ignores slots-1).
 
         def wbody(c, state):
             acc, mn, mx = state
             start = c * ch
             gs = jax.lax.dynamic_slice(gid, (start,), (ch,))
-            ms = jax.lax.dynamic_slice(matched_b, (start,), (ch,))
             sl = jax.lax.dynamic_slice(nib, (start, 0), (ch, T))
             # the chunk's REAL matched-gid span decides how many bands
             # to sweep; a chunk with no matched rows sweeps zero
-            lo_c = jnp.min(jnp.where(ms, gs, jnp.int32(2**30)))
-            hi_c = jnp.max(jnp.where(ms, gs, jnp.int32(-1)))
+            dead = jnp.int32(slots - 1)
+            lo_c = jnp.min(jnp.where(gs == dead, jnp.int32(2**30), gs))
+            hi_c = jnp.max(jnp.where(gs == dead, jnp.int32(-1), gs))
             nbands = jnp.maximum((hi_c - lo_c + Wb) // Wb, 0)
             if A:
                 vs = jax.lax.dynamic_slice(
@@ -703,30 +734,32 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
                 anchor0 = lo_c + b * Wb
                 # clip keeps the RMW slice in bounds; the hit mask uses
                 # the UNclipped anchor so overlapping clipped bands
-                # never double-count a row
+                # never double-count a row; the dead slot can only fall
+                # inside the last band's clipped range when hi_c reaches
+                # it, which the lo/hi scan above excludes
                 anchor = jnp.clip(anchor0, 0, max(slots - Wb, 0))
                 rel = gs - anchor
-                hitm = ms & (gs >= anchor0) & (gs < anchor0 + Wb)
+                hitm = (gs >= anchor0) & (gs < anchor0 + Wb) & (gs != dead)
                 hit = (iot_w == rel[None, :]) & hitm[None, :]  # [Wb, ch]
                 d = jax.lax.dot_general(
-                    hit.astype(jnp.bfloat16), sl.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    sl.astype(jnp.bfloat16), hit.astype(jnp.bfloat16),
+                    (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [T, Wb]
                 z = jnp.asarray(0, anchor.dtype)
-                band = jax.lax.dynamic_slice(acc, (anchor, z), (Wb, T))
+                band = jax.lax.dynamic_slice(acc, (z, anchor), (T, Wb))
                 acc = jax.lax.dynamic_update_slice(
-                    acc, band + d.astype(jnp.int64), (anchor, z))
+                    acc, band + d.astype(jnp.int64), (z, anchor))
                 if A:
-                    bmn = jax.lax.dynamic_slice(mn, (anchor, z), (Wb, A))
-                    bmx = jax.lax.dynamic_slice(mx, (anchor, z), (Wb, A))
+                    bmn = jax.lax.dynamic_slice(mn, (z, anchor), (A, Wb))
+                    bmx = jax.lax.dynamic_slice(mx, (z, anchor), (A, Wb))
                     for a in range(A):
                         h = hit & ks[:, a][None, :]
-                        bmn = bmn.at[:, a].min(jnp.min(
+                        bmn = bmn.at[a, :].min(jnp.min(
                             jnp.where(h, vs[:, a][None, :], BIG), axis=1))
-                        bmx = bmx.at[:, a].max(jnp.max(
+                        bmx = bmx.at[a, :].max(jnp.max(
                             jnp.where(h, vs[:, a][None, :], -BIG), axis=1))
-                    mn = jax.lax.dynamic_update_slice(mn, bmn, (anchor, z))
-                    mx = jax.lax.dynamic_update_slice(mx, bmx, (anchor, z))
+                    mn = jax.lax.dynamic_update_slice(mn, bmn, (z, anchor))
+                    mx = jax.lax.dynamic_update_slice(mx, bmx, (z, anchor))
                 return b + 1, acc, mn, mx
 
             _, acc, mn, mx = jax.lax.while_loop(
@@ -736,10 +769,11 @@ def _dense_reduce(gid, lanes64, minmax_vs, slots, limbs8=None,
 
         acc, mn, mx = jax.lax.fori_loop(
             0, nchunk, wbody,
-            (jnp.zeros((slots, T), jnp.int64),
-             jnp.full((slots, max(A, 1)), BIG, mdt),
-             jnp.full((slots, max(A, 1)), -BIG, mdt)))
-        sums = _recombine8_ragged(acc, limbs8)   # [slots, L]
+            (jnp.zeros((T, slots), jnp.int64),
+             jnp.full((max(A, 1), slots), BIG, mdt),
+             jnp.full((max(A, 1), slots), -BIG, mdt)))
+        sums = _recombine8_ragged(acc.T, limbs8)   # [slots, L]
+        mn, mx = mn.T, mx.T
         if A and all_f32:
             mn = jnp.where(mn >= BIG, jnp.float32(2.0**62),
                            mn).astype(jnp.int64)
@@ -865,10 +899,16 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         f32_ok = max(abs(agg.discard_min), abs(agg.discard_max)) < (1 << 24)
         minmax_vs.append((v, keep, f32_ok))
     win = config.window if 0 < config.window < slots else 0
+    wc = C
+    if win and config.window_chunk:
+        # sub-chunk the band loop: rows within a block are time-sorted,
+        # so window_chunk rows span ~window_chunk/C of the block's
+        # bucket range and the (engine-shrunk) window still covers them
+        wc = min(C, config.window_chunk)
     sums, mns_t, mxs_t, wspill = _dense_reduce(
         gid, lanes64, minmax_vs, slots,
         _lane_limbs(config, lanes64.shape[1]),
-        window=win, matched=matched, chunk=C)
+        window=win, matched=matched, chunk=wc)
     spill = spill + wspill
     tpos = {ai: i for i, ai in enumerate(track)}
     A = len(config.aggs)
@@ -1171,6 +1211,11 @@ def _enum_carry_plan(config: ScanConfig, L: int, R: int):
         skip |= {i for i, eq in enumerate(config.lane_nrows) if eq}
     if rb is None:
         return None, skip
+    # pack into 31-bit groups when lanes allow: an int32 carrier makes
+    # BOTH the sort operand and the readout's cumsum/cummax run at
+    # int32 speed (int64 scans profiled 5-6x slower on the v5e, and
+    # int64 reduce-windows can even exceed scoped vmem); only a lane
+    # that alone needs >31 bits gets an int64 carrier of its own
     plan, cur, used = [], [], 0
     for i in range(L):
         if i in skip:
@@ -1179,7 +1224,13 @@ def _enum_carry_plan(config: ScanConfig, L: int, R: int):
         bits = (b * R).bit_length() + 1 if b > 0 else 64
         if bits > 63:
             return None, skip
-        if used + bits > 63:
+        if bits > 31:
+            if cur:
+                plan.append(tuple(cur))
+                cur, used = [], 0
+            plan.append(((i, 0, bits),))
+            continue
+        if used + bits > 31:
             plan.append(tuple(cur))
             cur, used = [], 0
         cur.append((i, used, bits))
@@ -1187,6 +1238,43 @@ def _enum_carry_plan(config: ScanConfig, L: int, R: int):
     if cur:
         plan.append(tuple(cur))
     return tuple(plan), skip
+
+
+_TOPK_TILE = 1024
+_TOPK_M = 64
+
+
+def _topk_rows(score, live, k):
+    """Exact top-k indices over [R] rows via a two-phase tiled top_k.
+
+    lax.top_k over millions of rows lowers to a full sort (measured
+    6.5ms at 4.2M rows on the v5e); per-tile top-m followed by a global
+    top-k over the nt*m candidates is ~1ms.  Exactness is verified IN
+    kernel: a tile can hide a deserving winner only if it holds more
+    than m live candidates AND its m-th best still ties or beats the
+    global k-th best — in that case (never observed on real
+    distributions; requires >m near-equal hot groups packed into one
+    1024-row span of the key-sorted order) a lax.cond falls back to
+    the full top_k, so the fast path is an optimization, never an
+    approximation."""
+    R = score.shape[0]
+    T, m = _TOPK_TILE, _TOPK_M
+    nt = R // T
+    if R % T or nt * m < k or nt < 8:
+        return jax.lax.top_k(score, k)[1]
+    sc = score.reshape(nt, T)
+    v, i = jax.lax.top_k(sc, m)                       # [nt, m]
+    base = (jnp.arange(nt, dtype=jnp.int32) * T)[:, None]
+    cand_v = v.reshape(-1)
+    cand_i = (i.astype(jnp.int32) + base).reshape(-1)
+    tv, ti = jax.lax.top_k(cand_v, k)
+    widx = jnp.take(cand_i, ti)
+    lc = jnp.sum(live.reshape(nt, T), axis=1)         # live ends / tile
+    thresh = tv[k - 1]
+    danger = jnp.any((lc > m) & (v[:, m - 1] >= thresh))
+    return jax.lax.cond(danger,
+                        lambda _: jax.lax.top_k(score, k)[1],
+                        lambda _: widx, 0)
 
 
 def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
@@ -1278,17 +1366,35 @@ def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     pe = jnp.concatenate([diff, jnp.ones((1,), bool)])    # segment ends
     st = jax.lax.cummax(jnp.where(pb, iota, 0))           # start row of
     live_end = pe & (sp < jnp.asarray(radix, sp.dtype))   # each row's seg
-    nrows_seg = (iota - st + 1).astype(jnp.int64)
+    nrows_seg = iota - st + 1                             # int32
 
+    # all scans run in the CARRIER dtype: the carry plan packs 31-bit
+    # groups precisely so cumsum/cummax stay int32 (int64 scans lower
+    # to multi-pass reduce-windows, 5-6x slower per op).  Only carriers
+    # the PRUNE SCORE reads need their segment sums at every end row
+    # (cumsum minus a cummax-propagated base); the rest skip the base
+    # scan entirely — their sums are two tiny gathers of the cumsum at
+    # the winners' row ranges after top_k.
+    if config.prune_agg >= 0:
+        score_lanes = {3 + 3 * config.prune_agg, 4 + 3 * config.prune_agg}
+    else:
+        score_lanes = {0}
     lane_seg: dict[int, jnp.ndarray] = {}
+    deferred: list[tuple] = []           # (group, cum) read post-top_k
     if carry_plan is not None:
         for gi, group in enumerate(carry_plan):
-            cum = jnp.cumsum(sorted_ops[1 + gi].astype(jnp.int64))
-            prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), cum[:-1]])
-            base = jax.lax.cummax(jnp.where(pb, prev, 0))
+            c = sorted_ops[1 + gi]
+            cum = jnp.cumsum(c)          # total fits the dtype by plan
+            if not any(i in score_lanes for (i, _, _) in group):
+                deferred.append((group, cum))
+                continue
+            z = jnp.zeros((1,), c.dtype)
+            prev = jnp.concatenate([z, cum[:-1]])
+            base = jax.lax.cummax(jnp.where(pb, prev, z[0]))
             segsum = cum - base          # at end rows: the group total
             for (i, off, bits) in group:
-                lane_seg[i] = (segsum >> off) & ((1 << bits) - 1)
+                v = (segsum >> off) & ((1 << bits) - 1)
+                lane_seg[i] = v
     else:
         lanes64, _ = _agg_row_data(config, cols, flat, matched, weight)
         slanes = jnp.take(lanes64, sidx, axis=0)       # [R, L] sorted
@@ -1314,12 +1420,30 @@ def _scan_enum(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             / jnp.maximum(acnt, 1).astype(jnp.float32),
             -jnp.inf)
     else:
-        score = jnp.where(live_end, lane(0), -1)
-    _, widx = jax.lax.top_k(score, Pk)
+        cnt = lane(0)
+        score = jnp.where(live_end, cnt, jnp.asarray(-1, cnt.dtype))
+    widx = _topk_rows(score, live_end, Pk)
     wlive = jnp.take(live_end, widx)
+    st_w = jnp.take(st, widx)
+    nr_w = widx - st_w + 1               # winners' row counts
+    winner_seg: dict[int, jnp.ndarray] = {}
+    for (group, cum) in deferred:
+        cw = jnp.take(cum, widx)
+        bw = jnp.where(st_w > 0,
+                       jnp.take(cum, jnp.maximum(st_w - 1, 0)),
+                       jnp.zeros((), cum.dtype))
+        seg_w = cw - bw
+        for (i, off, bits) in group:
+            winner_seg[i] = (seg_w >> off) & ((1 << bits) - 1)
 
     def wl(i):
-        v = jnp.where(wlive, jnp.take(lane(i), widx), 0)
+        if i in winner_seg:
+            v = winner_seg[i]
+        elif i in lane_seg:
+            v = jnp.take(lane_seg[i], widx)
+        else:
+            v = nr_w
+        v = jnp.where(wlive, v, 0).astype(jnp.int64)
         if Pk < Pfull:       # tiny batch: pad to the table prefix
             v = jnp.pad(v, (0, Pfull - Pk))
         return v
@@ -1430,12 +1554,31 @@ def dense_table_plan(config: ScanConfig, R: int):
     slots."""
     if config.strategy != "dense" or config.no_compact_table:
         return None
-    cols = [("count", 0), ("samples", 1)]
+    # lanes PROVEN equal to the samples lane (lane_nrows: fully
+    # populated columns, discard-proof bounds, no weight column) don't
+    # ship at all — the host reconstructs them from samples.  A plain
+    # no-weight rollup then downloads [samples, wv] instead of five
+    # columns: the dense download IS the remaining tunnel cost at
+    # thousands of slots.
+    ln = (config.lane_nrows
+          if len(config.lane_nrows) == 2 + 3 * len(config.aggs) else ())
+    skip = set()
+    if ln:
+        if not config.weight_col:
+            skip.add(0)                       # count == samples
+        for ai in range(len(config.aggs)):
+            if ln[2 + 3 * ai]:
+                skip.add(2 + 3 * ai)          # exists == samples>0
+            if ln[3 + 3 * ai]:
+                skip.add(3 + 3 * ai)          # kw == samples
+    cols = [(n, li) for (n, li) in
+            [("count", 0), ("samples", 1)] if li not in skip]
     i64_cols = []
     for ai, a in enumerate(config.aggs):
-        cols += [(f"agg{ai}_exists", 2 + 3 * ai),
-                 (f"agg{ai}_count", 3 + 3 * ai),
-                 (f"agg{ai}_wv", 4 + 3 * ai)]
+        cols += [(n, li) for (n, li) in
+                 [(f"agg{ai}_exists", 2 + 3 * ai),
+                  (f"agg{ai}_count", 3 + 3 * ai),
+                  (f"agg{ai}_wv", 4 + 3 * ai)] if li not in skip]
         if a.num_values > 0:
             i64_cols += [f"agg{ai}_min", f"agg{ai}_max"]
     rb = config.lane_row_bounds

@@ -429,9 +429,12 @@ class BoundQuery:
         # scan kernel can then one-hot only [window, C] bands per chunk
         # (ops/scan.py _dense_reduce) instead of the full slot space
         window = 0
+        window_chunk = 0
+        time_i32 = False
         if self.config.time_col and kb_exact and kb_exact[0]:
             kid_t = schema.key_table.get(self.config.time_col)
             spans = {}
+            tlo, thi = 2**62, -2**62
             ok = True
             for d in block_dirs:
                 info = infos.get(d)
@@ -445,24 +448,39 @@ class BoundQuery:
                 qlo = self._trunc_div(e[0], p.time_bucket)
                 qhi = self._trunc_div(e[1], p.time_bucket)
                 spans[d] = qhi - qlo + 1
+                tlo, thi = min(tlo, e[0]), max(thi, e[1])
             if ok and spans:
+                # exact bounds prove the whole time column fits int32:
+                # the per-row bucket division (and re-division in
+                # _dense_gid) then runs at int32 speed — 64-bit div is
+                # an emulated multi-pass op and was the largest rollup
+                # front-end fusion in round-5 traces
+                time_i32 = (-2**31 < tlo and thi < 2**31
+                            and 0 < p.time_bucket < 2**31)
                 # the banded kernel sweeps as many windows per chunk as
                 # the chunk's real gid span needs (ops/scan.py
                 # _dense_reduce), so wide straggler blocks
                 # (partial-block top-ups, first digests) cost extra
-                # bands, never a separate pass — size the band for the
-                # MEDIAN block so the common chunk does one sweep
+                # bands, never a separate pass.  Rows within a block
+                # are time-sorted, so the band loop sub-chunks at
+                # window_chunk rows and the window need only cover the
+                # MEDIAN block's span scaled to the sub-chunk (one-hot
+                # traffic = R*window bytes — the window IS the cost)
                 svals = sorted(spans.values())
                 t_span = svals[len(svals) // 2]
                 radix_rest = 1
                 for (_, card) in key_bounds[1:]:
                     radix_rest *= card + 1
-                window = -(-((t_span + 1) * radix_rest) // 128) * 128
+                window_chunk = 8192
+                frac = max(CHUNK_SIZE // window_chunk, 1)
+                t_sub = t_span // frac + 2
+                window = -(-(t_sub * radix_rest) // 128) * 128
 
         self.config = _dc.replace(
             self.config,
             key_bounds=tuple(key_bounds), sort_pack=sort_pack,
             track_outliers=track_outliers, window=window,
+            window_chunk=window_chunk, time_i32=time_i32,
             lane_limbs8=tuple(lanes), agg_vbias=tuple(vbias),
             lane_row_bounds=tuple(row_bounds),
             lane_nrows=tuple(lane_nrows))
@@ -1576,7 +1594,7 @@ def _scan_rowstore(acc: "_Accumulator", bound: BoundQuery, table: Table,
     import dataclasses as _dc
     wal_cfg = _dc.replace(bound.config, lane_limbs8=(), agg_vbias=(),
                           lane_row_bounds=(), lane_nrows=(), window=0,
-                          no_compact_table=True)
+                          time_i32=False, no_compact_table=True)
     C = _pad_pow2(min(n, CHUNK_SIZE))
     nblocks = (n + C - 1) // C
     for b in range(nblocks):
@@ -1893,8 +1911,10 @@ class _Accumulator:
             for j, nme in enumerate(plan["i64_cols"]):
                 colmap[nme] = words[:, npack + j]
             keys = dense_keys_np(config, p.time_bucket or 1)
-            counts = colmap["count"]
             samples = colmap["samples"]
+            # lanes proven equal to samples were elided from the wire
+            # (dense_table_plan lane_nrows skip); rebuild them here
+            counts = colmap.get("count", samples)
         else:
             if n > P:
                 table = self.fetch(packed["table"][:n])  # escalation
@@ -1933,7 +1953,7 @@ class _Accumulator:
         sent_mn = sent_mx = None
         for ai, (info, want_hist, hist_type) in enumerate(self.bound.agg_layouts):
             if plan is not None:
-                acnt = colmap[f"agg{ai}_count"]
+                acnt = colmap.get(f"agg{ai}_count", samples)
                 wv = colmap[f"agg{ai}_wv"]
                 if ai < len(vbias) and vbias[ai]:
                     # the device summed kw*(v-bias); add bias*Σkw back
@@ -1945,7 +1965,7 @@ class _Accumulator:
                         sent_mn = np.full(P, 2**62, dtype=np.int64)
                         sent_mx = np.full(P, -2**62, dtype=np.int64)
                 d = {
-                    "exists": colmap[f"agg{ai}_exists"] != 0,
+                    "exists": colmap.get(f"agg{ai}_exists", samples) != 0,
                     "count": acnt,
                     "wv": wv,
                     "min": colmap.get(f"agg{ai}_min", sent_mn),
@@ -1996,9 +2016,11 @@ class _Accumulator:
         # columnar fast lane: simple shapes park the active rows as
         # numpy arrays; `finish` consumes them vectorized, skipping the
         # per-row dict churn entirely (the host hot path for many-group
-        # rollups)
+        # rollups).  A prune_cap does NOT exclude parking: maybe_prune
+        # materializes on demand, and it only ever acts from the second
+        # batch on — single-batch scans stay columnar end to end.
         if (not p.distincts and not hist_ais and not pruned
-                and p.num_distinct <= 0 and not self.prune_cap
+                and p.num_distinct <= 0
                 and not config.track_outliers):
             sel = active
             ak = keys[sel]
