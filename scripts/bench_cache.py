@@ -12,6 +12,12 @@ Port of the reference's cache benchmark protocol
 Runs in-process with warm jit (median of RUNS), so the numbers isolate
 engine+cache work from compile/tunnel noise.  Prints one row per query
 shape and a final JSON line with the sweep medians.
+
+A fourth axis, `cold`, re-runs the uncached query after evicting BOTH
+the OS page cache for every block file (posix_fadvise DONTNEED — the
+vmtouch analog in the reference's harness, test_cache_results.py:29-47)
+AND the device HBM residency cache, so it prices a genuinely cold
+storage walk: disk -> host decode -> device upload -> scan.
 """
 
 import json
@@ -90,6 +96,25 @@ def median_ms(fn):
     return walls[len(walls) // 2]
 
 
+def evict_storage(table_dir: str) -> None:
+    """Drop the OS page cache for every file under the table (the
+    vmtouch -e analog) and the device-side HBM residency, so the next
+    scan pays the full cold storage walk."""
+    from sybil_tpu.ops import residency
+    residency.CACHE.clear()
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                fd = os.open(p, os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+
+
 def main():
     import jax
     if os.environ.get("JAX_PLATFORMS"):
@@ -132,16 +157,29 @@ def main():
         run_query(t, params, cflags)       # ensure warm cache
         hit = median_ms(lambda: run_query(t, params, cflags))
 
+        # truly-cold storage (page cache + HBM residency evicted); one
+        # run per shape — eviction itself costs more than the query
+        evict_storage(t.dir)
+        t0 = time.time()
+        run_query(t, params, flags)
+        cold = (time.time() - t0) * 1e3
+
         rows.append({"query": label, "uncached_ms": round(uncached, 1),
-                     "write_ms": round(write, 1), "hit_ms": round(hit, 1)})
+                     "write_ms": round(write, 1), "hit_ms": round(hit, 1),
+                     "cold_ms": round(cold, 1)})
         print(f"{label:42s} uncached {uncached:8.1f}ms  "
-              f"write {write:8.1f}ms  hit {hit:8.1f}ms", file=sys.stderr)
+              f"write {write:8.1f}ms  hit {hit:8.1f}ms  "
+              f"cold {cold:8.1f}ms", file=sys.stderr)
 
     med = sorted(r["hit_ms"] / max(r["uncached_ms"], 1e-9)
                  for r in rows)[len(rows) // 2]
+    amps = sorted(r["write_ms"] / max(r["uncached_ms"], 1e-9)
+                  for r in rows)
     print(json.dumps({"metric": "cache_sweep", "rows": N_ROWS,
                       "n_queries": len(rows),
                       "median_hit_over_uncached": round(med, 3),
+                      "median_write_amp": round(amps[len(amps) // 2], 2),
+                      "max_write_amp": round(amps[-1], 2),
                       "table": rows}))
 
 

@@ -20,7 +20,10 @@ from collections import OrderedDict
 
 import numpy as np
 
-MAX_BYTES = 8 << 30  # leave headroom in 16G HBM
+# leave headroom in 16G HBM; SYBIL_HBM_BUDGET_BYTES overrides (the
+# MAX_MEM analog, table_query.go:15 — tables whose decoded working set
+# exceeds the budget degrade to LRU eviction + re-upload, never failure)
+MAX_BYTES = int(os.environ.get("SYBIL_HBM_BUDGET_BYTES", 8 << 30))
 
 
 class DeviceColumnCache:
