@@ -144,13 +144,24 @@ def main():
         params = build_params(kind)
         run_query(t, params, flags)        # jit warm-up for this shape
 
-        if os.path.isdir(cache_dir):
-            shutil.rmtree(cache_dir)
+        def drop_query_cache():
+            # only q_* entries: deleting the whole dir would also nuke
+            # the block-INFO cache (blocks_*.json.gz) and charge every
+            # write run a ~25ms full block-info reload that a real
+            # cold query cache never pays
+            if os.path.isdir(cache_dir):
+                for f in os.listdir(cache_dir):
+                    if f.startswith("q_"):
+                        try:
+                            os.unlink(os.path.join(cache_dir, f))
+                        except OSError:
+                            pass
+
+        drop_query_cache()
         uncached = median_ms(lambda: run_query(t, params, flags))
 
         def write_run():
-            if os.path.isdir(cache_dir):
-                shutil.rmtree(cache_dir)
+            drop_query_cache()
             run_query(t, params, cflags)
         write = median_ms(write_run)
 

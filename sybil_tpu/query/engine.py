@@ -485,6 +485,11 @@ class BoundQuery:
             lane_row_bounds=tuple(row_bounds),
             lane_nrows=tuple(lane_nrows))
         self._recheck_hll_cap()
+        if self.params.distincts and not self.config.hll:
+            # key bounds (esp. the time-bucket quotient) only exist now:
+            # a time-bucketed count-distinct becomes dense-bounded here
+            # and can still take the device-HLL register path
+            self._setup_hll()
 
     def _recheck_hll_cap(self) -> None:
         """Key bounds can WIDEN after bind (exact stats, read-log dict
@@ -1069,8 +1074,14 @@ def _run_query_inner(table: Table, params: QueryParams,
                         group_cols=("__cg__",) + bound.config.group_cols,
                         key_bounds=((0, ngp),) + bound.config.key_bounds,
                         sort_pack=(), vg_span=qcache.GROUP_SIZE)
-                    if probe.dense_slots > 0 and (
-                            not probe.hll or probe.dense_slots <= 1024):
+                    ok_dense = probe.dense_slots > 0 and (
+                        not probe.hll or probe.dense_slots <= 1024)
+                    # the sorted strategy takes the cg key like any
+                    # other sort key — no slot budget applies (distinct
+                    # pairs and sparse hist rows stay keyed by value)
+                    ok_sorted = (probe.dense_slots == 0
+                                 and not probe.hll)
+                    if ok_dense or ok_sorted:
                         use_vg = True
                         vg_cap = ngp
                         break
@@ -1221,6 +1232,11 @@ def _scan_cache_vgroups(ctx: "_ScanCtx", groups, B: int, vg_cap: int):
             sort_pack=(), vg_span=GS,
             hll_ship=max(base.hll_ship, 2 * ngp) if base.hll
             else base.hll_ship,
+            # ngp groups share one batch: per-batch compaction caps
+            # must scale or every vgroup dispatch escalates
+            max_pairs=min(base.max_pairs * ngp, 1 << 20),
+            max_hist_pairs=min(base.max_hist_pairs * ngp, 1 << 20),
+            max_out=min(base.max_out * ngp, 1 << 18),
             force_sorted=force_sorted or base.force_sorted)
         with timer.phase("load"):
             loader = BatchLoader(bound, dirs, C,
