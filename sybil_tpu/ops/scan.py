@@ -975,7 +975,12 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     B, C, R, flat, matched, keys, dkeys, weight = _front_end(
         config, cols, nrec, filter_vals, bitsets, time_bucket, set_aux)
 
+    # the matched flag rides the idx payload's sign bit through the
+    # sort: idx is a VALUE operand (never a key), so mangling its high
+    # bit is free and saves a full [R] random gather of the matched
+    # mask after the permutation (profiled ~110ms at 8M rows)
     idx = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).reshape(R)
+    idxm = jnp.where(matched, idx | jnp.int32(-2**31), idx)
     n_group_keys = len(keys)
     pack = config.sort_pack
     if pack and not dkeys and len(pack) == n_group_keys:
@@ -999,10 +1004,10 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             packed = packed * (card + 1) + digit.astype(dtype)
         pack_spill = jnp.sum((matched & bad).astype(jnp.int64))
         packed = jnp.where(matched & ~bad, packed, jnp.asarray(sent, dtype))
-        sorted_ops = jax.lax.sort([packed, idx], num_keys=1)
-        spacked, sidx = sorted_ops
-        smatched = matched[sidx]
-        sweight = weight[sidx]
+        sorted_ops = jax.lax.sort([packed, idxm], num_keys=1)
+        spacked, sidxm = sorted_ops
+        smatched = sidxm < 0
+        sidx = sidxm & jnp.int32(0x7FFFFFFF)
         # original key values: one [R] gather per key (cheaper than
         # carrying them through the sort)
         gkeys = [jnp.where(smatched, k[sidx], SENTINEL) for k in keys]
@@ -1013,17 +1018,20 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     else:
         pack_spill = jnp.zeros((), jnp.int64)
         all_keys = [jnp.where(matched, k, SENTINEL) for k in keys + dkeys]
-        sorted_ops = jax.lax.sort([*all_keys, idx], num_keys=len(all_keys))
-        skeys, sidx = sorted_ops[:-1], sorted_ops[-1]
-
-        smatched = matched[sidx]
-        sweight = weight[sidx]
+        sorted_ops = jax.lax.sort([*all_keys, idxm],
+                                  num_keys=len(all_keys))
+        skeys, sidxm = sorted_ops[:-1], sorted_ops[-1]
+        smatched = sidxm < 0
+        sidx = sidxm & jnp.int32(0x7FFFFFFF)
 
         gkeys = skeys[:n_group_keys]
         prev_differs = jnp.zeros((R,), bool).at[0].set(True)
         for k in gkeys:
             prev_differs = prev_differs | jnp.concatenate(
                 [jnp.ones((1,), bool), k[1:] != k[:-1]])
+    # weight is only consulted on weighted scans; skip the [R] gather
+    # otherwise (sorted hist w falls back to the constant 1)
+    sweight = weight[sidx] if config.weight_col else None
     gid = jnp.cumsum(prev_differs.astype(jnp.int32)) - 1
     num_groups = gid[-1] + 1
 
@@ -1032,31 +1040,47 @@ def _scan_sorted(config: ScanConfig, cols, nrec, filter_vals, bitsets,
     cgid = jnp.where(smatched & in_cap, gid, S)
     contrib = smatched & in_cap
 
-    lanes64, per_agg_unsorted = _agg_row_data(config, cols, flat, matched,
-                                              weight)
-    L = lanes64.shape[1]
-    limbs8 = _lane_limbs(config, L)
-    # extract limbs BEFORE the sort gather: the row permutation then
-    # moves T2 int8 limbs per row instead of 8L int64 bytes
-    nib_u = _nibbles_ragged(lanes64, limbs8)    # [R, T2] row order
-    nib = jnp.where(contrib[:, None], nib_u[sidx], jnp.int8(0))
-    acc = jnp.zeros((S + 1, nib.shape[1]), jnp.int32).at[cgid].add(
-        nib.astype(jnp.int32))
-    sums = _recombine_nib_ragged(acc[:S].astype(jnp.int64), limbs8)
+    # segment-start positions per slot: gid is SORTED, so slot g's rows
+    # are [pos[g], pos[g+1]) and one searchsorted maps the whole table —
+    # this replaces the round-4 single-writer key scatter AND (on
+    # trivial lanes) the count scatter, both of which XLA lowers to
+    # [R]-row serial loops (~70-110ms each at 8M rows)
+    gids_q = jnp.arange(S, dtype=gid.dtype)
+    pos = jnp.searchsorted(gid, gids_q)
+    posc = jnp.minimum(pos, R - 1)
+    okq = (pos < R) & (jnp.take(gid, posc) == gids_q)
 
-    # group keys: each segment's first row writes its key tuple — single
-    # writer per slot, so an exact int32-pair scatter-add suffices
+    if not config.aggs and not config.weight_col:
+        # trivial lanes (count == samples == 1 per matched row): slot
+        # sums are contrib-cumsum differences at the segment bounds
+        per_agg_unsorted = []
+        cumc = jnp.cumsum(contrib.astype(jnp.int32))
+        pend = jnp.concatenate([pos[1:], jnp.full((1,), R, pos.dtype)])
+        chi = jnp.where(pend > 0,
+                        jnp.take(cumc, jnp.maximum(pend - 1, 0)), 0)
+        clo = jnp.where(pos > 0,
+                        jnp.take(cumc, jnp.maximum(pos - 1, 0)), 0)
+        one = jnp.where(okq, chi - clo, 0).astype(jnp.int64)
+        sums = jnp.stack([one, one], axis=1)
+    else:
+        lanes64, per_agg_unsorted = _agg_row_data(config, cols, flat,
+                                                  matched, weight)
+        L = lanes64.shape[1]
+        limbs8 = _lane_limbs(config, L)
+        # extract limbs BEFORE the sort gather: the row permutation then
+        # moves T2 int8 limbs per row instead of 8L int64 bytes
+        nib_u = _nibbles_ragged(lanes64, limbs8)    # [R, T2] row order
+        nib = jnp.where(contrib[:, None], nib_u[sidx], jnp.int8(0))
+        acc = jnp.zeros((S + 1, nib.shape[1]), jnp.int32).at[cgid].add(
+            nib.astype(jnp.int32))
+        sums = _recombine_nib_ragged(acc[:S].astype(jnp.int64), limbs8)
+
+    # group keys: gather each slot's first row's key tuple (sentinel
+    # segments carry SENTINEL keys with zero counts — inert downstream)
     kmat = jnp.stack(gkeys, axis=1)             # [R, K] int64 sorted
     K = kmat.shape[1]
-    bid = jnp.where(prev_differs & contrib, cgid, S)
-    lo = (kmat.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi = (kmat.astype(jnp.uint64) >> jnp.uint64(32)).astype(jnp.uint32)
-    kpair = jnp.concatenate([lo, hi], axis=1).astype(jnp.int32)  # [R, 2K]
-    kacc = jnp.zeros((S + 1, 2 * K), jnp.int32).at[bid].add(kpair)[:S]
-    keys_tbl = (kacc[:, :K].astype(jnp.uint32).astype(jnp.uint64) |
-                (kacc[:, K:].astype(jnp.uint32).astype(jnp.uint64)
-                 << jnp.uint64(32))).astype(jnp.int64)
-    # dead slots read as sentinel-free zero rows; mark via samples/count=0
+    keys_tbl = jnp.where(okq[:, None],
+                         jnp.take(kmat, posc, axis=0), 0)  # [S, K]
 
     out = {
         "num_groups": num_groups,
@@ -1677,6 +1701,19 @@ def packed_layout(config: ScanConfig, R: int) -> dict:
     return layout
 
 
+def _mask_positions(mask, k):
+    """-> (idx [k], live [k]): indices of the first k True rows of
+    `mask` (live False marks padding entries) — the same selection as
+    top_k(mask.astype(int32), k) with index tie-breaking, but via one
+    int32 cumsum + k binary searches instead of a full [R] sort (which
+    is how XLA lowers large-k top_k; profiled ~47ms at 8M rows)."""
+    cm = jnp.cumsum(mask.astype(jnp.int32))
+    q = jnp.arange(1, k + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(cm, q)
+    live = pos < mask.shape[0]
+    return jnp.minimum(pos, mask.shape[0] - 1), live
+
+
 def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     K = config.n_key_cols
     A = len(config.aggs)
@@ -1766,11 +1803,11 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
         kmax = layout["kmax_out"]
         for ai in hist_ais:
             mask = out[f"agg{ai}_out_mask"]
-            _, idx = jax.lax.top_k(mask.astype(jnp.int32), kmax)
+            idx, livem = _mask_positions(mask, kmax)
             block = jnp.concatenate(
                 [out["sorted_gkeys"][idx],
                  out[f"agg{ai}_out_val"][idx][:, None],
-                 mask[idx][:, None].astype(jnp.int64)], axis=1)
+                 livem[:, None].astype(jnp.int64)], axis=1)
             sections.append(pad_to(block, W))
             meta.append(out[f"agg{ai}_nout"].astype(jnp.int64))
     else:
@@ -1780,10 +1817,10 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
     if D and "pair_mask" in out:
         kmax = layout["kmax_pairs"]
         pmask = out["pair_mask"]
-        _, idx = jax.lax.top_k(pmask.astype(jnp.int32), kmax)
+        idx, livem = _mask_positions(pmask, kmax)
         block = jnp.concatenate(
             [out["sorted_keys"][idx],
-             pmask[idx][:, None].astype(jnp.int64)], axis=1)
+             livem[:, None].astype(jnp.int64)], axis=1)
         sections.append(pad_to(block, W))
         meta.append(jnp.sum(pmask.astype(jnp.int64)))
     elif "hll_regs" in out:
@@ -1836,12 +1873,12 @@ def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
         Hcap = layout["Hcap"]
         for ai in hist_ais:
             mask = out[f"agg{ai}_hp_mask"]
-            _, idx = jax.lax.top_k(mask.astype(jnp.int32), Hcap)
+            idx, livem = _mask_positions(mask, Hcap)
             block = jnp.concatenate(
                 [out[f"agg{ai}_hp_keys"][idx],
                  out[f"agg{ai}_hp_bv"][idx][:, None],
                  out[f"agg{ai}_hp_w"][idx][:, None],
-                 mask[idx][:, None].astype(jnp.int64)], axis=1)
+                 livem[:, None].astype(jnp.int64)], axis=1)
             sections.append(pad_to(block, W))
             meta.append(jnp.sum(mask.astype(jnp.int64)))
 

@@ -1075,7 +1075,10 @@ def _run_query_inner(table: Table, params: QueryParams,
                         key_bounds=((0, ngp),) + bound.config.key_bounds,
                         sort_pack=(), vg_span=qcache.GROUP_SIZE)
                     ok_dense = probe.dense_slots > 0 and (
-                        not probe.hll or probe.dense_slots <= 1024)
+                        not probe.hll or probe.dense_slots <= 1024) and (
+                        # windowed rollups: the compact table download
+                        # scales with slots x groups — keep it ~128KB
+                        probe.window == 0 or probe.dense_slots <= 16384)
                     # the sorted strategy takes the cg key like any
                     # other sort key — no slot budget applies (distinct
                     # pairs and sparse hist rows stay keyed by value)
@@ -1084,6 +1087,11 @@ def _run_query_inner(table: Table, params: QueryParams,
                     if ok_dense or ok_sorted:
                         use_vg = True
                         vg_cap = ngp
+                        if ok_sorted and bound.config.distinct_cols:
+                            # pair-compaction buffers scale with the
+                            # group count; distinct pairs are the
+                            # widest rows — keep the download bounded
+                            vg_cap = min(ngp, 2)
                         break
                     ngp //= 2
             if to_scan and use_vg:
