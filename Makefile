@@ -56,10 +56,33 @@ benchmarks: bench
 	$(PY) scripts/bench_cache.py
 	$(PY) scripts/bench_scaling.py
 
+# per-shape device-time / roofline split (BASELINE.md round-5 table)
+bench-device:
+	$(PY) scripts/bench_device_time.py
+
+# ingest + digestion rows/s (native C++ walcodec vs pure python)
+bench-write:
+	$(CPUENV) $(PY) scripts/bench_write_path.py
+
+# HBM-overflow working set: LRU eviction + re-upload, never failure
+bench-overflow:
+	$(PY) scripts/bench_overflow.py
+
+# CI regression gate (benchcmp analog; --update refreshes the baseline)
+bench-gate:
+	$(PY) scripts/bench_gate.py
+
 # ---- ops / stress ---------------------------------------------------
 # bounded by default; SOAK_ITERS=1000 for an hours-scale soak
 soak:
 	bash scripts/stress_ingest_digest.sh
+
+# one-sided steady soaks against a live querier (steady_*.sh analogs)
+soak-ingest:
+	bash scripts/steady_ingest.sh
+
+soak-digest:
+	bash scripts/steady_digest.sh
 
 demo:
 	bash scripts/basic_aggregation_test.sh
@@ -68,4 +91,6 @@ clean:
 	rm -rf $(DB) sybil_tpu/native/build/*.so
 
 .PHONY: all native fake-data fake-uptime fake-people fake-sessions \
-        testquery test testv coverage bench benchmarks soak demo clean
+        testquery test testv coverage bench benchmarks bench-device \
+        bench-write bench-overflow bench-gate soak soak-ingest \
+        soak-digest demo clean

@@ -188,7 +188,19 @@ def _row_sections(acc):
     ragged("tdm", td_means)
     ragged("tdw", td_weights)
     if hlls:
-        sections["hll"] = np.stack(hlls)
+        # SPARSE register planes: a group that saw d distinct values
+        # touches at most d of the 2^14 registers, so a time-bucketed
+        # rollup over a small-cardinality column stores ~20 (idx, rank)
+        # pairs per row instead of a dense 16KB plane (dense planes
+        # made the cache entry ~1000x the partial it encodes)
+        idxs, vals = [], []
+        for regs in hlls:
+            nz = np.nonzero(regs)[0]
+            idxs.append(nz.astype(np.int32))
+            vals.append(regs[nz])
+        ragged("hlli", idxs)
+        ragged("hllv", vals)
+        sections["hll_m"] = np.asarray([hlls[0].shape[0]], dtype=np.int64)
     return {"fast": False, "rows": rows}, sections
 
 
@@ -235,8 +247,10 @@ def _acc_from_container(c, bound):
         distinct = None
         if di is not None:
             distinct = HLL()
-            distinct.registers = np.asarray(c.read("hll")[di],
-                                            dtype=np.uint8).copy()
+            m = int(c.read("hll_m")[0])
+            regs = np.zeros(m, dtype=np.uint8)
+            regs[ragged("hlli", di)] = ragged("hllv", di)
+            distinct.registers = regs
         acc.rows[tuple(kt_l)] = {"count": count, "samples": samples,
                                  "aggs": aggs, "distinct": distinct}
     return acc
