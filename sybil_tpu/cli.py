@@ -391,6 +391,10 @@ def cmd_version(argv):
             "time-rollup": True, "query-cache": True, "distributed": True,
             "device-hll": True, "enum-topk": True,
             "windowed-rollup": True,
+            # round 5
+            "binary-query-cache": True, "banded-window-sweep": True,
+            "rowspace-topk": True, "hbm-budget": True,
+            "cold-storage-bench": True,
         },
     }
     if args.json:
