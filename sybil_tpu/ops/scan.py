@@ -863,7 +863,7 @@ def _key_counts(key, radix, R):
     entries are 0/1 in bf16 and per-chunk partial sums are bounded by
     the chunk size < 2^24.  radix*R MACs — ~1.5ms for a 16Ki radix at
     8M rows, where the equivalent [R]-row scatter is a serial loop."""
-    Wf = min(512, radix)
+    Wf = min(_counts_wf(radix), radix)
     Shi = -(-(radix + 1) // Wf)      # bin `radix` holds the sentinel
     ch = 1 << (min(R, 1 << 16).bit_length() - 1)
     nchunk = -(-R // ch)
@@ -1767,6 +1767,16 @@ def _mask_positions(mask, k):
     pos = jnp.searchsorted(cm, q)
     live = pos < mask.shape[0]
     return jnp.minimum(pos, mask.shape[0] - 1), live
+
+
+def _counts_wf(radix: int) -> int:
+    """Factor width for _key_counts: the dominant cost is building the
+    two one-hot operands, (Shi + Wf) * rows * 2B of traffic, minimized
+    at Wf ~ sqrt(radix) (kept >= 128 for MXU lane occupancy)."""
+    w = 128
+    while w * w < radix and w < 512:
+        w *= 2
+    return w
 
 
 def pack_outputs(config: ScanConfig, out: dict, R: int) -> dict:
