@@ -168,19 +168,22 @@ def main():
         run_query(t, params, cflags)       # ensure warm cache
         hit = median_ms(lambda: run_query(t, params, cflags))
 
-        # truly-cold storage (page cache + HBM residency evicted); one
-        # run per shape — eviction itself costs more than the query
-        evict_storage(t.dir)
-        t0 = time.time()
-        run_query(t, params, flags)
-        cold = (time.time() - t0) * 1e3
-
-        rows.append({"query": label, "uncached_ms": round(uncached, 1),
-                     "write_ms": round(write, 1), "hit_ms": round(hit, 1),
-                     "cold_ms": round(cold, 1)})
+        row = {"query": label, "uncached_ms": round(uncached, 1),
+               "write_ms": round(write, 1), "hit_ms": round(hit, 1)}
+        if os.environ.get("CACHE_BENCH_COLD", "1") != "0":
+            # truly-cold storage (page cache + HBM residency evicted);
+            # one run per shape — eviction costs more than the query.
+            # CACHE_BENCH_COLD=0 skips it (each cold run re-uploads the
+            # working set, which a degraded tunnel turns into minutes)
+            evict_storage(t.dir)
+            t0 = time.time()
+            run_query(t, params, flags)
+            row["cold_ms"] = round((time.time() - t0) * 1e3, 1)
+        rows.append(row)
         print(f"{label:42s} uncached {uncached:8.1f}ms  "
               f"write {write:8.1f}ms  hit {hit:8.1f}ms  "
-              f"cold {cold:8.1f}ms", file=sys.stderr)
+              f"cold {row.get('cold_ms', float('nan')):8.1f}ms",
+              file=sys.stderr)
 
     med = sorted(r["hit_ms"] / max(r["uncached_ms"], 1e-9)
                  for r in rows)[len(rows) // 2]
