@@ -273,3 +273,51 @@ def test_read_log_values_outside_block_bounds(tmp_path):
     for k in ("k0", "k1", "k2"):
         want = sums[k][0] / sums[k][1]
         assert abs(got[k][1] - want) < 1e-9, (k, got[k][1], want)
+
+
+def test_cache_vgroup_rollup_parity(tmp_path):
+    """Round-5: time rollups now ride the vgroup cache path (the cg key
+    is emitted MOST significant so the banded window still applies) —
+    per-bucket results, cached partials, and hits must all be exact vs
+    the uncached scan."""
+    import sybil_tpu.digest as dg
+    from sybil_tpu.query import cache as qcache
+
+    old = dg.CHUNK_SIZE
+    dg.CHUNK_SIZE = 128
+    old_qc = qcache.CHUNK_SIZE
+    qcache.CHUNK_SIZE = 128
+    try:
+        flags = Flags(dir=str(tmp_path / "db"), table="vgr",
+                      skip_compact=True, device_batch=256)
+        t = Table("vgr", flags)
+        t.ingest_records([flatten_record(
+            {"g": f"k{i % 4}", "v": i % 40, "time": i * 3})
+            for i in range(128 * 40)])
+        digest_records(t)
+
+        params = QueryParams(groups=("g",), aggs=(AggDef("v", "avg"),),
+                             time_bucket=100, time_col="time")
+        base = run_query(t, params, flags)
+
+        cflags = Flags(**{**vars(flags), "cache_queries": True})
+        qcache.HITS = qcache.MISSES = 0
+        wrote = run_query(t, params, cflags)   # cold: vgroup writes
+        hit = run_query(t, params, cflags)     # warm: hits
+        assert qcache.HITS > 0
+    finally:
+        dg.CHUNK_SIZE = old
+        qcache.CHUNK_SIZE = old_qc
+
+    def snap(qr):
+        out = {}
+        for tb, rows in qr.time_results.items():
+            for gk, r in rows.items():
+                h = r.hists.get("v")
+                out[(tb, gk)] = (r.count, r.samples,
+                                 round(h.mean(), 9) if h else None)
+        return out
+
+    assert snap(wrote) == snap(base)
+    assert snap(hit) == snap(base)
+    assert wrote.matched_count == base.matched_count == 128 * 40
