@@ -909,16 +909,25 @@ def _hll_registers(config: ScanConfig, cols, flat, matched, gid, bitsets,
         miss = nd - 1
         hidx = jnp.clip(jnp.where(valid, v, miss), 0, miss).astype(
             jnp.int32)
-        if slots * nd <= 32768:
+        # UNPADDED group space: real gids are mixed-radix values < g
+        # plus the dead slot (slots-1) — the lane padding between g and
+        # slots would inflate the pair space up to 128x (a plain COUNT
+        # DISTINCT has ONE live group in a 128-slot padded table)
+        g = 1
+        for (_, card) in config.key_bounds:
+            g *= card + 1
+        gsmall = g + 1                           # +1 dead
+        if gsmall * nd <= 32768:
             R = v.shape[0]
-            gidm = jnp.where(matched, gid, slots - 1)
-            cnt = _key_counts(gidm * nd + hidx, slots * nd, R)
+            gidc = jnp.where(matched & (gid < g), gid, gsmall - 1)
+            cnt = _key_counts(gidc * nd + hidx, gsmall * nd, R)
             exists = cnt > 0
             idx_v, rank_v = _hll_idx_rank(hashes)        # [nd] each
-            p = jnp.arange(slots * nd, dtype=jnp.int32)
+            p = jnp.arange(gsmall * nd, dtype=jnp.int32)
             g_of, v_of = p // nd, p % nd
+            slot_of = jnp.where(g_of == gsmall - 1, slots - 1, g_of)
             tslot = jnp.where(exists,
-                              g_of * HLL_M + idx_v[v_of],
+                              slot_of * HLL_M + idx_v[v_of],
                               slots * HLL_M)
             acc = jnp.zeros((slots * HLL_M + 1,), jnp.int32).at[
                 tslot].max(jnp.where(exists, rank_v[v_of], 0))
