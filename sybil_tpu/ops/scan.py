@@ -969,10 +969,39 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
         # so window_chunk rows span ~window_chunk/C of the block's
         # bucket range and the (engine-shrunk) window still covers them
         wc = min(C, config.window_chunk)
-    sums, mns_t, mxs_t, wspill = _dense_reduce(
-        gid, lanes64, minmax_vs, slots,
+    # COMPACT reduce space: real gids are mixed-radix values < g, but
+    # slots is lane-padded to a 128 multiple — a small-cardinality
+    # group-by would build its one-hot against up to 128 rows for a
+    # handful of real groups.  Reduce over [g+1] rows (dead remapped to
+    # index g) and expand back to the padded table afterwards; one-hot
+    # traffic is rows x reduce-rows bytes, the whole cost of the dense
+    # loop at 64M rows.
+    Sc = slots
+    gid_r = gid
+    if not win and config.key_bounds:
+        g = 1
+        for (_, card) in config.key_bounds:
+            g *= card + 1
+        if g + 1 < slots:
+            Sc = g + 1
+            gid_r = jnp.where(gid == slots - 1, g, gid)
+    sums_c, mns_tc, mxs_tc, wspill = _dense_reduce(
+        gid_r, lanes64, minmax_vs, Sc,
         _lane_limbs(config, lanes64.shape[1]),
         window=win, matched=matched, chunk=wc)
+    if Sc != slots:
+        # rows [0, Sc-1) map 1:1; the dead row (whose sums are zeroed
+        # and whose min/max are never read) stays at slots-1 with the
+        # padded rows' zero/sentinel content
+        L = sums_c.shape[1]
+        sums = jnp.zeros((slots, L), sums_c.dtype).at[
+            :Sc - 1].set(sums_c[:Sc - 1])
+        mns_t = jnp.full((slots, mns_tc.shape[1]), 2**62,
+                         jnp.int64).at[:Sc - 1].set(mns_tc[:Sc - 1])
+        mxs_t = jnp.full((slots, mxs_tc.shape[1]), -2**62,
+                         jnp.int64).at[:Sc - 1].set(mxs_tc[:Sc - 1])
+    else:
+        sums, mns_t, mxs_t = sums_c, mns_tc, mxs_tc
     spill = spill + wspill
     tpos = {ai: i for i, ai in enumerate(track)}
     A = len(config.aggs)
@@ -1014,13 +1043,18 @@ def _scan_dense(config: ScanConfig, cols, nrec, filter_vals, bitsets,
             wl = config.lane_limbs8[0] if config.lane_limbs8 else 8
             if wl == 1:
                 # unweighted or byte-bounded weights: MXU matmul form
-                out[f"agg{ai}_hist"] = _hist_matmul(
-                    gid, hcontrib, weight, bv, nv, slots,
+                # (over the compact reduce space, expanded like sums)
+                hh = _hist_matmul(
+                    gid_r, hcontrib, weight, bv, nv, Sc,
                     weighted=bool(config.weight_col))
             else:
-                out[f"agg{ai}_hist"] = _hist_scatter(
-                    gid, hcontrib, weight, bv, nv, slots,
+                hh = _hist_scatter(
+                    gid_r, hcontrib, weight, bv, nv, Sc,
                     weighted=bool(config.weight_col), wlimbs8=wl)
+            if Sc != slots:
+                hh = jnp.zeros((slots, nv), hh.dtype).at[
+                    :Sc - 1].set(hh[:Sc - 1])
+            out[f"agg{ai}_hist"] = hh
             if config.track_outliers:
                 _outlier_outputs(out, config, ai, hcontrib, is_out, v,
                                  key_rows)
